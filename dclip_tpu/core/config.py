@@ -1,0 +1,305 @@
+"""Configuration dataclasses for every pipeline stage.
+
+Replaces the reference's per-script argparse plus hardcoded in-source paths
+(see /root/reference/training/CLIP_image_distillation.py:449-479 and
+train_contrastive_teacher.py:143-145 for the pattern being replaced) with a
+single typed config layer. CLI entry points parse the same public flags the
+reference documents (README.md:24-57) into these dataclasses.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+
+# ---------------------------------------------------------------------------
+# Model architecture configs (HF CLIP-compatible numerics).
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 512
+    num_layers: int = 12
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    max_length: int = 77
+    layer_norm_eps: float = 1e-5
+    eos_token_id: int = 49407
+
+
+@dataclass(frozen=True)
+class CLIPVisionConfig:
+    image_size: int = 224
+    patch_size: int = 32
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+
+@dataclass(frozen=True)
+class CLIPConfig:
+    """Full dual-encoder CLIP. Matches HF `CLIPModel` numerics.
+
+    The reference mixes model ids across stages (teacher stack B/16 at
+    image_tokenizer.py:20, student L/14 at CLIP_image_distill_training.py:22,
+    FAISS index B/32 at compute_faiss.py:21); here each stage names its
+    preset explicitly.
+    """
+
+    text: CLIPTextConfig = field(default_factory=CLIPTextConfig)
+    vision: CLIPVisionConfig = field(default_factory=CLIPVisionConfig)
+    projection_dim: int = 512
+    logit_scale_init: float = 2.6592
+    dtype: str = "float32"
+
+    @staticmethod
+    def vit_b_32() -> "CLIPConfig":
+        return CLIPConfig()
+
+    @staticmethod
+    def vit_b_16() -> "CLIPConfig":
+        return CLIPConfig(vision=CLIPVisionConfig(patch_size=16))
+
+    @staticmethod
+    def vit_l_14() -> "CLIPConfig":
+        return CLIPConfig(
+            text=CLIPTextConfig(hidden_size=768, num_heads=12, mlp_dim=3072),
+            vision=CLIPVisionConfig(
+                patch_size=14,
+                hidden_size=1024,
+                num_layers=24,
+                num_heads=16,
+                mlp_dim=4096,
+            ),
+            projection_dim=768,
+        )
+
+    @staticmethod
+    def tiny_test() -> "CLIPConfig":
+        """Small config for CPU tests: same code path, toy sizes."""
+        return CLIPConfig(
+            text=CLIPTextConfig(
+                vocab_size=1000,
+                hidden_size=32,
+                num_layers=2,
+                num_heads=4,
+                mlp_dim=64,
+                max_length=16,
+                eos_token_id=999,
+            ),
+            vision=CLIPVisionConfig(
+                image_size=32,
+                patch_size=8,
+                hidden_size=32,
+                num_layers=2,
+                num_heads=4,
+                mlp_dim=64,
+            ),
+            projection_dim=16,
+        )
+
+    @staticmethod
+    def from_name(name: str) -> "CLIPConfig":
+        table = {
+            "vit-b-32": CLIPConfig.vit_b_32,
+            "vit-b-16": CLIPConfig.vit_b_16,
+            "vit-l-14": CLIPConfig.vit_l_14,
+            "tiny": CLIPConfig.tiny_test,
+            # HF-style aliases matching the reference's model-id strings.
+            "openai/clip-vit-base-patch32": CLIPConfig.vit_b_32,
+            "openai/clip-vit-base-patch16": CLIPConfig.vit_b_16,
+            "openai/clip-vit-large-patch14": CLIPConfig.vit_l_14,
+        }
+        if name not in table:
+            raise ValueError(f"Unknown CLIP preset: {name!r}; have {sorted(table)}")
+        return table[name]()
+
+
+# ---------------------------------------------------------------------------
+# Teacher (meta-teacher) config.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TeacherConfig:
+    """PatchTextAggregation hyperparameters.
+
+    Defaults mirror the reference (patch_text_aggregation.py:50-56): 512-d
+    embeddings, 8 heads, similarity threshold 0.85, aggregation temperature
+    2.0 (:243), 0.5/0.5 text/image fusion (:647).
+
+    Static-shape additions (TPU): `max_patches` / `max_text_tokens` replace
+    the reference's pad-to-batch-max (:555-620), and `mask_padding` makes
+    padded slots inert in attention/aggregation (the reference lets zero-pad
+    rows participate — an artifact of dynamic padding, not a modeling choice).
+    """
+
+    embed_dim: int = 512
+    num_heads: int = 8
+    similarity_threshold: float = 0.85
+    aggregation_temperature: float = 2.0
+    fusion_alpha: float = 0.5  # global = alpha*text_global + (1-alpha)*image_global
+    max_patches: int = 32
+    max_text_tokens: int = 77
+    mask_padding: bool = True
+
+
+# ---------------------------------------------------------------------------
+# Training configs.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. data=DP over batch, model=TP over hidden dims."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = -1  # -1: all remaining devices
+    model_parallel: int = 1
+
+
+@dataclass(frozen=True)
+class TeacherTrainConfig:
+    """Matches train_contrastive_teacher.py CLI contract (:430-440)."""
+
+    train_file: str = ""
+    val_file: str = ""  # reference derives it via "_train"->"_val" (:218)
+    epochs: int = 5
+    batch_size: int = 32
+    gradient_accumulation: int = 1
+    learning_rate: float = 1e-5  # Adam, reference :245-248
+    output_path: str = "models/teacher_contrastive"
+    seed: int = 42  # seed_everything(42), reference :99
+    # Only params whose path matches one of these train (reference :125-134).
+    trainable_patterns: Sequence[str] = (
+        "cross_attn",
+        "attention",
+        "proj",
+        "fusion",
+        "final",
+    )
+    temperature: float = 0.05  # contrastive loss temp (reference :251)
+    log_every: int = 10
+    cache_sync_every: int = 100  # reference syncs KNN cache every 100 batches
+    teacher: TeacherConfig = field(default_factory=TeacherConfig)
+    clip_model: str = "vit-b-16"
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+@dataclass(frozen=True)
+class UnfreezeStage:
+    """One stage of the progressive-unfreeze schedule."""
+
+    epoch: int
+    patterns: Sequence[str]
+
+
+@dataclass(frozen=True)
+class DistillConfig:
+    """Matches CLIP_image_distill_training.py CLI contract (:47-52 plus
+    CLIP_image_distillation.py:711-721).
+
+    The reference's progressive-unfreeze hook `on_epoch_end` never fires
+    under modern Lightning (SURVEY.md §3.1), so its effective behavior is
+    "only vision `proj` trainable for the whole run". We keep that as the
+    default (`unfreeze_schedule=()`) and expose the intended schedule as an
+    explicit, configurable option.
+    """
+
+    train_file: str = ""
+    val_file: Optional[str] = None
+    train_batch_size: int = 32
+    eval_batch_size: int = 32
+    learning_rate: float = 2e-5  # AdamW (reference :679-682, default :717)
+    warmup_steps: int = 0
+    total_steps: int = 1000
+    phase1_epochs: int = 2  # README.md:59 "2 epochs to prevent 0 shot decay"
+    checkpoint_dir: str = "checkpoints"
+    gradient_clip_val: float = 0.5  # reference Trainer(:41)
+    accumulate_grad_batches: int = 4  # reference Trainer(:42)
+    contrastive_weight: float = 1.0  # reference :628
+    temperature: float = 0.05  # InfoNCE temp (reference :532)
+    seed: int = 42
+    save_top_k: int = 10  # ModelCheckpoint(save_top_k=10) (reference :27-34)
+    student_model: str = "vit-l-14"
+    teacher_clip_model: str = "vit-b-16"
+    teacher: TeacherConfig = field(default_factory=TeacherConfig)
+    # () reproduces the hook-never-fires reference behavior.
+    unfreeze_schedule: Sequence[UnfreezeStage] = ()
+    unfreeze_text_at_epoch: Optional[int] = None  # reference intended 3
+    full_resolution_at_epoch: Optional[int] = None  # phase1_epochs // 2 intended
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    log_every: int = 10
+
+
+@dataclass(frozen=True)
+class RetrievalEvalConfig:
+    """Matches flickr30k_eval.py CLI (:286-298)."""
+
+    dataset_json: str = ""
+    max_images: int = 1000
+    model: str = "both"  # base | custom | both
+    checkpoint: Optional[str] = None
+    batch_size: int = 256
+    clip_model: str = "vit-b-16"
+    chunk_size: int = 1000  # similarity matmul chunking (reference :252-266)
+
+
+@dataclass(frozen=True)
+class ZeroShotEvalConfig:
+    """Matches test_zero_shot_ImageNet.py / CIFAR_zeroshot.py protocol."""
+
+    dataset: str = "cifar10"  # cifar10 | cifar100 | imagenet
+    data_dir: str = ""
+    model: str = "both"
+    checkpoint: Optional[str] = None
+    batch_size: int = 64
+    clip_model: str = "vit-l-14"
+    prompt_template: str = "a photo of a {}"
+    results_file: Optional[str] = None
+
+
+# ---------------------------------------------------------------------------
+# Serialization helpers.
+# ---------------------------------------------------------------------------
+
+
+def to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def save_json(cfg: Any, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(to_dict(cfg), f, indent=2, default=str)
+
+
+def _build(cls, data: dict):
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        ftype = hints.get(f.name, f.type)
+        if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+            v = _build(ftype, v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def load_json(cls, path: str):
+    with open(path) as f:
+        return _build(cls, json.load(f))

@@ -1,0 +1,264 @@
+"""Flax CLIP dual encoder, numerically matching HF `CLIPModel`.
+
+This is the TPU-native replacement for every `CLIPModel.from_pretrained(...)`
+forward in the reference (training/image_tokenizer.py:25,
+training/text_tokenizer.py:22, eval_scripts/flickr30k_eval.py:109, ...).
+All sequence lengths are static (77 text tokens, fixed patch grid), so the
+whole forward jits once and runs on the MXU in large batches.
+
+Numerics verified against torch `transformers.CLIPModel` in
+tests/test_clip_parity.py (random weights, CPU): quick-GELU, LayerNorm
+eps=1e-5, causal text attention, EOS-token pooling, CLS pooling +
+post-layernorm for vision, bias-free patch conv.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dclip_tpu.core.config import CLIPConfig, CLIPTextConfig, CLIPVisionConfig
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class MLP(nn.Module):
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = quick_gelu(x)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with HF CLIP parameterization."""
+
+    hidden: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        # x: [B, S, D]; mask: additive [B, 1, S, S] or broadcastable.
+        head_dim = self.hidden // self.heads
+        q = nn.Dense(self.hidden, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(self.hidden, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(self.hidden, dtype=self.dtype, name="v_proj")(x)
+
+        def split(t):
+            b, s, _ = t.shape
+            return t.reshape(b, s, self.heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        scale = head_dim**-0.5
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        if mask is not None:
+            logits = logits + mask
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        b, h, s, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        return nn.Dense(self.hidden, dtype=self.dtype, name="out_proj")(out)
+
+
+class EncoderLayer(nn.Module):
+    hidden: int
+    heads: int
+    mlp_dim: int
+    eps: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm1")(x)
+        x = x + Attention(self.hidden, self.heads, self.dtype, name="self_attn")(
+            h, mask
+        )
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm2")(x)
+        x = x + MLP(self.mlp_dim, self.hidden, self.dtype, name="mlp")(h)
+        return x
+
+
+class Encoder(nn.Module):
+    num_layers: int
+    hidden: int
+    heads: int
+    mlp_dim: int
+    eps: float
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        layer_cls = EncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=())
+        for i in range(self.num_layers):
+            x = layer_cls(
+                self.hidden,
+                self.heads,
+                self.mlp_dim,
+                self.eps,
+                self.dtype,
+                name=f"layers_{i}",
+            )(x, mask)
+        return x
+
+
+class CLIPTextEncoder(nn.Module):
+    cfg: CLIPTextConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask: Optional[jnp.ndarray] = None):
+        c = self.cfg
+        b, s = input_ids.shape
+        tok = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype, name="token_embedding")(
+            input_ids
+        )
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.02),
+            (c.max_length, c.hidden_size),
+        ).astype(self.dtype)
+        x = tok + pos[None, :s, :]
+
+        # Causal mask (HF CLIP text encoder is causal) + optional padding mask.
+        neg = jnp.finfo(jnp.float32).min
+        causal = jnp.triu(jnp.full((s, s), neg, dtype=jnp.float32), k=1)
+        mask = causal[None, None, :, :]
+        if attention_mask is not None:
+            pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
+            mask = mask + pad
+
+        x = Encoder(
+            c.num_layers,
+            c.hidden_size,
+            c.num_heads,
+            c.mlp_dim,
+            c.layer_norm_eps,
+            self.dtype,
+            self.remat,
+            name="encoder",
+        )(x, mask)
+        x = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=self.dtype, name="final_layer_norm"
+        )(x)
+
+        # Pool at the EOS token (HF: first position where id == eos_token_id).
+        is_eos = (input_ids == c.eos_token_id).astype(jnp.int32)
+        eos_idx = jnp.argmax(is_eos, axis=-1)
+        # If no EOS present fall back to last position.
+        eos_idx = jnp.where(is_eos.sum(-1) > 0, eos_idx, s - 1)
+        pooled = x[jnp.arange(b), eos_idx]
+        return x, pooled
+
+
+class CLIPVisionEncoder(nn.Module):
+    cfg: CLIPVisionConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, pixel_values):
+        """pixel_values: [B, H, W, 3] (NHWC — TPU-native layout)."""
+        c = self.cfg
+        b = pixel_values.shape[0]
+        x = nn.Conv(
+            c.hidden_size,
+            kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            use_bias=False,
+            dtype=self.dtype,
+            name="patch_embedding",
+        )(pixel_values)
+        x = x.reshape(b, -1, c.hidden_size)  # [B, P, D]
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(0.02), (c.hidden_size,)
+        ).astype(self.dtype)
+        x = jnp.concatenate([jnp.tile(cls[None, None, :], (b, 1, 1)), x], axis=1)
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.02),
+            (c.num_patches + 1, c.hidden_size),
+        ).astype(self.dtype)
+        x = x + pos[None]
+        x = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=self.dtype, name="pre_layernorm"
+        )(x)
+        x = Encoder(
+            c.num_layers,
+            c.hidden_size,
+            c.num_heads,
+            c.mlp_dim,
+            c.layer_norm_eps,
+            self.dtype,
+            self.remat,
+            name="encoder",
+        )(x)
+        pooled = x[:, 0]
+        pooled = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=self.dtype, name="post_layernorm"
+        )(pooled)
+        return x, pooled
+
+
+class CLIPModule(nn.Module):
+    """Dual-encoder CLIP with projection heads and learnable logit scale."""
+
+    cfg: CLIPConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        self.text_model = CLIPTextEncoder(self.cfg.text, self.dtype, self.remat)
+        self.vision_model = CLIPVisionEncoder(self.cfg.vision, self.dtype, self.remat)
+        self.text_projection = nn.Dense(
+            self.cfg.projection_dim, use_bias=False, dtype=self.dtype
+        )
+        self.visual_projection = nn.Dense(
+            self.cfg.projection_dim, use_bias=False, dtype=self.dtype
+        )
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda _: jnp.asarray(self.cfg.logit_scale_init, jnp.float32),
+        )
+
+    def get_text_features(self, input_ids, attention_mask=None):
+        _, pooled = self.text_model(input_ids, attention_mask)
+        return self.text_projection(pooled)
+
+    def get_token_features(self, input_ids, attention_mask=None):
+        """Token-level text features: text_projection applied to every
+        last-hidden-state token (reference text_tokenizer.py:195-213)."""
+        hidden, pooled = self.text_model(input_ids, attention_mask)
+        return self.text_projection(hidden), self.text_projection(pooled)
+
+    def get_image_features(self, pixel_values):
+        _, pooled = self.vision_model(pixel_values)
+        return self.visual_projection(pooled)
+
+    def get_patch_features(self, pixel_values):
+        """Projected per-patch features (for region encoders)."""
+        hidden, pooled = self.vision_model(pixel_values)
+        return self.visual_projection(hidden), self.visual_projection(pooled)
+
+    def __call__(self, input_ids, pixel_values, attention_mask=None):
+        txt = self.get_text_features(input_ids, attention_mask)
+        img = self.get_image_features(pixel_values)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale)
+        logits_per_text = scale * txt @ img.T
+        return logits_per_text.T, logits_per_text  # (per_image, per_text)
