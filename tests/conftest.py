@@ -1,12 +1,19 @@
-"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+"""Test harness: an 8-device virtual CPU mesh alongside whatever the real
+backend is.
 
 The reference has no tests at all (SURVEY.md §4); this conftest is the
 "fake backend" layer the TPU build uses instead: every multi-chip sharding
 path is exercised on 8 virtual CPU devices.
+
+Note: this environment registers a TPU PJRT plugin in `sitecustomize` before
+conftest runs, so JAX_PLATFORMS cannot be overridden here. Instead we keep
+the CPU backend available with 8 virtual devices (XLA reads XLA_FLAGS lazily
+at first CPU-client init) and pin the *default device* to CPU so tests run
+fast and deterministically; mesh tests must build their mesh from
+`jax.devices("cpu")` (use the `cpu_devices` fixture).
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: env may pre-set an axon TPU tunnel
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,14 +24,20 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 # Parity tests compare against float64-free numpy/torch references; JAX's
-# default CPU matmul precision is lower (bf16-ish passes) and fails them.
+# default matmul precision is lower (bf16-ish passes) and fails them.
 jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session")
 def rng():
-    import jax
-
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    devs = jax.devices("cpu")
+    assert len(devs) >= 8, "XLA_FLAGS must force 8 virtual CPU devices"
+    return devs[:8]

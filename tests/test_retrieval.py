@@ -1,0 +1,91 @@
+"""Retrieval ranking vs a verbatim-semantics numpy port of the reference's
+calculate_retrieval_metrics (eval_scripts/flickr30k_eval.py:16-88)."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from dclip_tpu.ops import retrieval_metrics, similarity_matrix, t2i_ranks, i2t_ranks
+
+
+def _reference_metrics(similarity, image_ids, caption_image_ids):
+    """Numpy port of flickr30k_eval.py:16-88 (loops and all)."""
+    from collections import defaultdict
+
+    img_to_captions = defaultdict(list)
+    for i, img_id in enumerate(caption_image_ids):
+        img_to_captions[img_id].append(i)
+    t2i = []
+    for ci, gt in enumerate(caption_image_ids):
+        gt_idx = image_ids.index(gt)
+        order = np.argsort(-similarity[ci])
+        t2i.append(int(np.where(order == gt_idx)[0][0]))
+    i2t = []
+    for ii, img_id in enumerate(image_ids):
+        gt_caps = img_to_captions.get(img_id, [])
+        if not gt_caps:
+            continue
+        order = np.argsort(-similarity[:, ii])
+        i2t.append(min(int(np.where(order == g)[0][0]) for g in gt_caps))
+
+    def r_at_k(ranks, k):
+        return len([r for r in ranks if r < k]) / len(ranks)
+
+    def mean_ap(ranks):
+        return float(np.mean([1.0 / (r + 1) for r in ranks]))
+
+    return {
+        "t2i": {f"R@{k}": r_at_k(t2i, k) for k in (1, 5, 10)} | {"MAP": mean_ap(t2i)},
+        "i2t": {f"R@{k}": r_at_k(i2t, k) for k in (1, 5, 10)} | {"MAP": mean_ap(i2t)},
+        "t2i_ranks": t2i,
+        "i2t_ranks": i2t,
+    }
+
+
+def _setup(seed=0, n_images=20, caps_per_image=5, d=8):
+    rng = np.random.RandomState(seed)
+    img = rng.randn(n_images, d).astype(np.float32)
+    cap = rng.randn(n_images * caps_per_image, d).astype(np.float32)
+    cap_to_img = np.repeat(np.arange(n_images), caps_per_image)
+    return img, cap, cap_to_img
+
+
+def test_ranks_match_reference():
+    img, cap, cap_to_img = _setup()
+    sim = np.asarray(similarity_matrix(jnp.asarray(cap), jnp.asarray(img)))
+    ref = _reference_metrics(sim, list(range(img.shape[0])), list(cap_to_img))
+    got_t2i = np.asarray(t2i_ranks(jnp.asarray(sim), jnp.asarray(cap_to_img)))
+    got_i2t = np.asarray(i2t_ranks(jnp.asarray(sim), jnp.asarray(cap_to_img), chunk=7))
+    np.testing.assert_array_equal(got_t2i, ref["t2i_ranks"])
+    np.testing.assert_array_equal(got_i2t, ref["i2t_ranks"])
+
+
+def test_metrics_match_reference():
+    img, cap, cap_to_img = _setup(seed=1)
+    got = retrieval_metrics(jnp.asarray(cap), jnp.asarray(img), jnp.asarray(cap_to_img))
+    imn = img / np.linalg.norm(img, axis=1, keepdims=True)
+    capn = cap / np.linalg.norm(cap, axis=1, keepdims=True)
+    ref = _reference_metrics(capn @ imn.T, list(range(img.shape[0])), list(cap_to_img))
+    for d in ("t2i", "i2t"):
+        for k in ("R@1", "R@5", "R@10", "MAP"):
+            assert np.isclose(float(got[d][k]), ref[d][k], atol=1e-6), (d, k)
+
+
+def test_tie_breaking_matches_numpy_argsort():
+    # Constant similarities: every rank decided purely by stable tie-break.
+    sim = np.zeros((10, 4), np.float32)
+    cap_to_img = np.array([0, 0, 1, 1, 2, 2, 3, 3, 0, 1])
+    ref = _reference_metrics(sim, list(range(4)), list(cap_to_img))
+    got_t2i = np.asarray(t2i_ranks(jnp.asarray(sim), jnp.asarray(cap_to_img)))
+    got_i2t = np.asarray(i2t_ranks(jnp.asarray(sim), jnp.asarray(cap_to_img), chunk=3))
+    np.testing.assert_array_equal(got_t2i, ref["t2i_ranks"])
+    np.testing.assert_array_equal(got_i2t, ref["i2t_ranks"])
+
+
+def test_perfect_retrieval():
+    img = np.eye(6, 8, dtype=np.float32)
+    cap = np.repeat(img, 2, axis=0)  # 2 captions per image, identical
+    cap_to_img = np.repeat(np.arange(6), 2)
+    got = retrieval_metrics(jnp.asarray(cap), jnp.asarray(img), jnp.asarray(cap_to_img))
+    assert float(got["t2i"]["R@1"]) == 1.0
+    assert float(got["i2t"]["R@1"]) == 1.0
+    assert float(got["i2t"]["MAP"]) == 1.0
