@@ -1,0 +1,144 @@
+"""The meta-teacher: PatchTextAggregation, TPU-native.
+
+Reference: `PatchTextAggregation` (training/patch_text_aggregation.py:49-656).
+The reference's `compute_global_embedding_batch` (:268-656) is a per-image,
+per-box Python loop that crops patches with PIL, embeds them one at a time
+(with a pickle/dbm cache and a FAISS k-NN gate), pads to the batch max, and
+only then does math. Here the whole forward is three fixed-shape stages:
+
+  1. `encode_patches` — all B*P region crops -> one fused device
+     crop-resize-normalize (`dclip_tpu.ops.image_ops`) -> ONE batched CLIP
+     vision forward (replaces image_tokenizer.py:86-124 and the per-patch
+     loop at patch_text_aggregation.py:308-486). Optionally routed through
+     the k-NN/projection gate (`dclip_tpu.ops.knn`).
+  2. `encode_tokens` — token-level CLIP text features: `text_projection`
+     applied to every last-hidden-state token, skipping BOS/EOS/pad
+     (replaces text_tokenizer.py:171-216).
+  3. `PatchTextAggregation.__call__` — bidirectional cross-attention,
+     temperature-softmax aggregation of both streams, 0.5/0.5 fusion
+     (patch_text_aggregation.py:632-647).
+
+Everything jits once; padded slots are inert via masks (`mask_padding=True`,
+the TPU-correct behavior) or participate like the reference's zero-padding
+(`mask_padding=False`, for bit-parity testing).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dclip_tpu.core.config import TeacherConfig
+from dclip_tpu.models.clip import CLIPModule
+from dclip_tpu.models.cross_modal import CrossModalAttention, import_torch_cross_modal
+from dclip_tpu.ops.aggregation import fuse_global, temperature_aggregate
+from dclip_tpu.ops.image_ops import batch_crop_resize_normalize
+
+
+class TeacherOutput(NamedTuple):
+    global_embedding: jnp.ndarray  # [B, D] fused teacher target
+    text_global: jnp.ndarray  # [B, D]
+    image_global: jnp.ndarray  # [B, D]
+    attended_text: jnp.ndarray  # [B, T, D]
+    attended_image: jnp.ndarray  # [B, P, D]
+
+
+class PatchTextAggregation(nn.Module):
+    """Cross-attention fusion head over patch + token embeddings."""
+
+    cfg: TeacherConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        text_embeddings: jnp.ndarray,  # [B, T, D]
+        patch_embeddings: jnp.ndarray,  # [B, P, D]
+        text_mask: Optional[jnp.ndarray] = None,  # [B, T], 1 = valid
+        patch_mask: Optional[jnp.ndarray] = None,  # [B, P], 1 = valid
+    ) -> TeacherOutput:
+        c = self.cfg
+        use_masks = c.mask_padding
+        tm = text_mask if use_masks else None
+        pm = patch_mask if use_masks else None
+        attended_text, attended_image = CrossModalAttention(
+            c.embed_dim, c.num_heads, self.dtype, name="cross_modal_attention"
+        )(text_embeddings, patch_embeddings, text_mask=tm, image_mask=pm)
+        text_global = temperature_aggregate(
+            attended_text, c.aggregation_temperature, mask=tm
+        )
+        image_global = temperature_aggregate(
+            attended_image, c.aggregation_temperature, mask=pm
+        )
+        global_embedding = fuse_global(text_global, image_global, c.fusion_alpha)
+        return TeacherOutput(
+            global_embedding=global_embedding,
+            text_global=text_global,
+            image_global=image_global,
+            attended_text=attended_text,
+            attended_image=attended_image,
+        )
+
+
+def encode_patches(
+    clip_model: CLIPModule,
+    clip_variables: Dict[str, Any],
+    images: jnp.ndarray,  # [B, H, W, 3] in [0, 1], NHWC
+    boxes: jnp.ndarray,  # [B, P, 4] xyxy pixel coords
+    patch_mask: jnp.ndarray,  # [B, P], 1 = valid box
+    patch_size: int = 224,
+) -> jnp.ndarray:
+    """All region crops -> CLIP patch embeddings in one batched forward.
+
+    Returns [B, P, projection_dim]; invalid slots are zeroed (the reference's
+    zero-tensor fallback, patch_text_aggregation.py:506, made explicit).
+    """
+    b, p = boxes.shape[:2]
+    patches = batch_crop_resize_normalize(images, boxes, patch_size)
+    flat = patches.reshape(b * p, patch_size, patch_size, 3)
+    emb = clip_model.apply(
+        clip_variables, flat, method=clip_model.get_image_features
+    ).reshape(b, p, -1)
+    return emb * patch_mask[..., None]
+
+
+def encode_tokens(
+    clip_model: CLIPModule,
+    clip_variables: Dict[str, Any],
+    input_ids: jnp.ndarray,  # [B, 77]
+    attention_mask: jnp.ndarray,  # [B, 77]
+    eos_token_id: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Token-level text features + the content-token mask.
+
+    Reference text_tokenizer.py:195-213: project every last-hidden-state
+    token with `text_projection`, keeping only content tokens (not BOS, not
+    EOS, not padding). Returns (token_features [B, 77, D], token_mask [B, 77]).
+    """
+    token_feats, _ = clip_model.apply(
+        clip_variables,
+        input_ids,
+        attention_mask,
+        method=clip_model.get_token_features,
+    )
+    t = input_ids.shape[1]
+    is_bos = jnp.arange(t)[None, :] == 0
+    is_eos = input_ids == eos_token_id
+    token_mask = (attention_mask > 0) & ~is_bos & ~is_eos
+    token_mask = token_mask.astype(jnp.float32)
+    return token_feats * token_mask[..., None], token_mask
+
+
+def import_torch_teacher(sd, prefix: str = "cross_modal_attention") -> dict:
+    """Convert a reference teacher checkpoint state_dict to Flax params.
+
+    The reference teacher trains only `cross_modal_attention.*`
+    (train_contrastive_teacher.py:125-134); its checkpoints are full
+    state_dicts (`torch.save(teacher.state_dict())`, :393-402) whose only
+    learnable keys live under this prefix.
+    """
+    sub = {
+        k[len(prefix) + 1 :]: v for k, v in sd.items() if k.startswith(prefix + ".")
+    }
+    return {"cross_modal_attention": import_torch_cross_modal(sub)}
