@@ -1,0 +1,220 @@
+"""Host input pipeline: corpus JSON -> fixed-shape numpy batches.
+
+Replaces the reference's `MultiModalDataset` + DataLoader stack
+(training/CLIP_image_distillation.py:78-434): per-item PIL decode with
+3-retry zero-fallback (:319-409), random caption per epoch (:333), ragged
+box lists in the collate (:411-434), and a SECOND decode of the same image
+inside the teacher (patch_text_aggregation.py:300). Here every image is
+decoded ONCE per step and feeds both consumers (SURVEY.md §7 "Host I/O
+pipeline"):
+
+- `pixel_values`  [B, S, S, 3]  student input — PIL-bicubic shortest-side
+  resize + center crop + CLIP normalization (bit-parity with HF
+  `CLIPProcessor`),
+- `teacher_pixels` [B, R, R, 3] in [0,1] — squash-resized full frame whose
+  region crops the jitted teacher takes on device
+  (`dclip_tpu.models.teacher.encode_patches`), with `boxes` rescaled into
+  that frame,
+- `input_ids`/`attention_mask` [B, 77] — the epoch-seeded random caption
+  (deterministic, unlike the reference's global `random.choice`),
+- `boxes` [B, P, 4] / `conf` [B, P] / `box_mask` [B, P] — detection cache
+  rows, confidence-descending, padded to max_patches.
+
+Decode + preprocess runs in a thread pool with a bounded prefetch queue;
+batches are plain numpy, ready for `jax.device_put` (the trainer overlaps
+H2D with the previous step automatically via async dispatch).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from dclip_tpu.data.detection_cache import DetectionCache
+from dclip_tpu.ops.image_ops import CLIP_MEAN, CLIP_STD
+
+
+@dataclass
+class Batch:
+    pixel_values: np.ndarray  # [B, S, S, 3] float32, CLIP-normalized
+    input_ids: np.ndarray  # [B, T] int32
+    attention_mask: np.ndarray  # [B, T] int32
+    teacher_pixels: np.ndarray  # [B, R, R, 3] float32 in [0, 1]
+    boxes: np.ndarray  # [B, P, 4] float32, xyxy in teacher_pixels frame
+    conf: np.ndarray  # [B, P] float32
+    box_mask: np.ndarray  # [B, P] float32
+    index: np.ndarray  # [B] int64 corpus indices
+
+    def as_dict(self) -> Dict[str, np.ndarray]:
+        return self.__dict__.copy()
+
+
+def preprocess_image(
+    image, size: int = 224
+) -> np.ndarray:
+    """HF CLIPProcessor-parity preprocessing: bicubic shortest-side resize,
+    center crop, rescale 1/255, CLIP mean/std normalize. NHWC float32."""
+    from PIL import Image
+
+    w, h = image.size
+    # HF get_resize_output_image_size: shortest edge -> size, long side
+    # truncated (int()), not rounded.
+    if w <= h:
+        nw, nh = size, int(size * h / w)
+    else:
+        nw, nh = int(size * w / h), size
+    image = image.resize((nw, nh), Image.BICUBIC)
+    left = (nw - size) // 2
+    top = (nh - size) // 2
+    image = image.crop((left, top, left + size, top + size))
+    arr = np.asarray(image, np.float32) / 255.0
+    return (arr - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(CLIP_STD, np.float32)
+
+
+def squash_resize(image, size: int) -> np.ndarray:
+    """Full frame squash-resized to [size, size, 3] in [0,1] (bilinear)."""
+    from PIL import Image
+
+    arr = np.asarray(image.resize((size, size), Image.BILINEAR), np.float32)
+    return arr / 255.0
+
+
+class MultiModalPipeline:
+    """Deterministic epoch iterator over corpus records."""
+
+    def __init__(
+        self,
+        items: Sequence[dict],
+        tokenizer,
+        detection_cache: Optional[DetectionCache] = None,
+        batch_size: int = 32,
+        max_patches: int = 8,
+        image_size: int = 224,
+        teacher_image_size: int = 224,
+        max_text_tokens: Optional[int] = None,
+        seed: int = 42,
+        drop_remainder: bool = True,
+        num_threads: int = 8,
+        prefetch: int = 4,
+        shuffle: bool = True,
+    ):
+        self.items = list(items)
+        self.tokenizer = tokenizer
+        self.cache = detection_cache or DetectionCache()
+        self.batch_size = batch_size
+        self.max_patches = max_patches
+        self.image_size = image_size
+        self.teacher_image_size = teacher_image_size
+        self.max_text_tokens = max_text_tokens or getattr(tokenizer, "max_length", 77)
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.shuffle = shuffle
+
+    def __len__(self) -> int:
+        n = len(self.items)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    # -- per-item ----------------------------------------------------------
+
+    def _load_item(self, idx: int, epoch: int) -> dict:
+        from PIL import Image
+
+        item = self.items[idx]
+        rng = np.random.RandomState((self.seed * 1_000_003 + epoch * 9176 + idx) % (2**31))
+        captions = item["captions"]
+        caption = captions[rng.randint(len(captions))] if captions else ""
+        try:
+            with Image.open(item["image_path"]) as im:
+                im = im.convert("RGB")
+                w, h = im.size
+                pixel_values = preprocess_image(im, self.image_size)
+                teacher_pixels = squash_resize(im, self.teacher_image_size)
+        except Exception:
+            # Reference behavior: zero tensors on unreadable images
+            # (CLIP_image_distillation.py:400-409), but explicit.
+            w = h = self.teacher_image_size
+            pixel_values = np.zeros((self.image_size, self.image_size, 3), np.float32)
+            teacher_pixels = np.zeros(
+                (self.teacher_image_size, self.teacher_image_size, 3), np.float32
+            )
+        boxes, conf, mask = self.cache.get_fixed([item["image_path"]], self.max_patches)
+        boxes, conf, mask = boxes[0], conf[0], mask[0]
+        # Rescale boxes from original pixel coords into the teacher frame.
+        sx = self.teacher_image_size / max(w, 1)
+        sy = self.teacher_image_size / max(h, 1)
+        boxes = boxes * np.asarray([sx, sy, sx, sy], np.float32)
+        ids, amask = self.tokenizer.encode(caption, self.max_text_tokens)
+        return {
+            "pixel_values": pixel_values,
+            "teacher_pixels": teacher_pixels,
+            "boxes": boxes,
+            "conf": conf,
+            "box_mask": mask,
+            "input_ids": ids,
+            "attention_mask": amask,
+            "index": np.int64(idx),
+        }
+
+    # -- epoch iteration -----------------------------------------------------
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        order = np.arange(len(self.items))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        return order
+
+    def epoch(self, epoch: int = 0) -> Iterator[Batch]:
+        order = self._epoch_order(epoch)
+        n_batches = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                        items = list(pool.map(lambda i: self._load_item(int(i), epoch), idxs))
+                        q.put(self._collate(items))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            # Drain so the producer can exit.
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    t.join(timeout=0.1)
+
+    @staticmethod
+    def _collate(items: List[dict]) -> Batch:
+        return Batch(
+            pixel_values=np.stack([i["pixel_values"] for i in items]),
+            input_ids=np.stack([i["input_ids"] for i in items]),
+            attention_mask=np.stack([i["attention_mask"] for i in items]),
+            teacher_pixels=np.stack([i["teacher_pixels"] for i in items]),
+            boxes=np.stack([i["boxes"] for i in items]),
+            conf=np.stack([i["conf"] for i in items]),
+            box_mask=np.stack([i["box_mask"] for i in items]),
+            index=np.stack([i["index"] for i in items]),
+        )

@@ -1,0 +1,278 @@
+"""Corpus/karpathy builders, detection cache, embedding store, pipeline."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dclip_tpu.data import (
+    CorpusPaths,
+    DetectionCache,
+    EmbeddingStore,
+    GridProposalDetector,
+    HashTokenizer,
+    MultiModalPipeline,
+    boxes_from_corpus_item,
+    build_cache,
+    cache_path_for,
+    combine_datasets,
+    load_corpus,
+    prepare_karpathy_json,
+)
+
+
+def _png(path, w=40, h=30, color=(200, 30, 90)):
+    from PIL import Image
+
+    Image.new("RGB", (w, h), color).save(path)
+    return str(path)
+
+
+# -- corpus builders ---------------------------------------------------------
+
+
+def test_coco_corpus_and_split(tmp_path):
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    files = [_png(img_dir / f"i{i}.png") for i in range(10)]
+    ann = {
+        "images": [{"id": i, "file_name": f"i{i}.png"} for i in range(12)],
+        "annotations": [
+            {"image_id": i % 12, "caption": f"caption {i}"} for i in range(36)
+        ],
+    }
+    ann_file = tmp_path / "captions.json"
+    ann_file.write_text(json.dumps(ann))
+    paths = CorpusPaths(
+        coco_images_dir=str(img_dir),
+        coco_annotations_file=str(ann_file),
+        targets={"coco": 100},
+    )
+    train_json = str(tmp_path / "train.json")
+    val_json = str(tmp_path / "val.json")
+    t, v = combine_datasets(paths, train_json, val_json, seed=0)
+    assert t and v
+    train, val = load_corpus(t), load_corpus(v)
+    # 10 existing images (2 annotation ids have no file), 90/10 split.
+    assert len(train) + len(val) == 10
+    assert len(val) == 1
+    item = train[0]
+    assert set(item) == {"image_path", "captions", "dataset", "boxes"}
+    assert item["dataset"] == "coco"
+    assert os.path.exists(item["image_path"])
+    del files
+
+
+def test_visual_genome_boxes_schema(tmp_path):
+    from dclip_tpu.data.corpus import process_visual_genome
+
+    img_dir = tmp_path / "vg"
+    img_dir.mkdir()
+    _png(img_dir / "7.jpg")
+    regions = [
+        {
+            "id": 7,
+            "regions": [
+                {"phrase": "a red ball", "x": 1, "y": 2, "width": 10, "height": 20},
+                {"phrase": "a tree"},
+            ],
+        },
+        {"id": 8, "regions": [{"phrase": "missing image"}]},
+    ]
+    ann = tmp_path / "regions.json"
+    ann.write_text(json.dumps(regions))
+    out = process_visual_genome(str(img_dir), str(ann), 10)
+    assert len(out) == 1
+    assert out[0]["captions"] == ["a red ball", "a tree"]
+    assert out[0]["boxes"] == [{"x": 1, "y": 2, "width": 10, "height": 20}]
+    xyxy, conf = boxes_from_corpus_item(out[0])
+    np.testing.assert_allclose(xyxy, [[1, 2, 11, 22]])
+    np.testing.assert_allclose(conf, [1.0])
+
+
+def test_flickr30k_pipe_csv(tmp_path):
+    from dclip_tpu.data.corpus import process_flickr30k
+
+    img_dir = tmp_path / "fl"
+    img_dir.mkdir()
+    _png(img_dir / "a.jpg")
+    csv = tmp_path / "results.csv"
+    csv.write_text(
+        "image_name| comment_number| comment\n"
+        "a.jpg| 0| A man walks.\n"
+        "a.jpg| 1| Someone strolling.\n"
+        "gone.jpg| 0| Not on disk.\n"
+    )
+    out = process_flickr30k(str(img_dir), str(csv), 10)
+    assert len(out) == 1
+    assert out[0]["captions"] == ["A man walks.", "Someone strolling."]
+
+
+def test_karpathy_builder_counts_and_schema(tmp_path, capsys):
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    for i in range(3):
+        _png(img_dir / f"f{i}.jpg")
+    karpathy = {
+        "images": [
+            {
+                "filename": f"f{i}.jpg",
+                "imgid": i,
+                "split": "test" if i < 2 else "train",
+                "sentences": [{"raw": f"sent {i}a"}, {"raw": f"sent {i}b"}],
+            }
+            for i in range(3)
+        ]
+    }
+    kfile = tmp_path / "dataset_flickr30k.json"
+    kfile.write_text(json.dumps(karpathy))
+    out_json = tmp_path / "test.json"
+    out = prepare_karpathy_json("flickr30k", str(img_dir), str(kfile), str(out_json))
+    assert len(out) == 2
+    assert set(out[0]) == {"image_path", "image_id", "captions"}
+    written = json.loads(out_json.read_text())
+    assert written == out
+    # Count-validation warning fires (2 != expected 1000), reference :118-120.
+    assert "Expected 1000 images" in capsys.readouterr().out
+
+
+# -- detection cache -----------------------------------------------------------
+
+
+def test_detection_cache_roundtrip_and_fixed(tmp_path):
+    cache = DetectionCache()
+    cache.put("a.jpg", np.array([[0, 0, 10, 10], [5, 5, 20, 20], [1, 1, 2, 2]]),
+              np.array([0.5, 0.9, 0.7]))
+    cache.put("b.jpg", np.zeros((0, 4)), np.zeros((0,)))
+    p = str(tmp_path / "det.npz")
+    cache.save(p)
+    loaded = DetectionCache.load(p)
+    assert len(loaded) == 2 and "a.jpg" in loaded
+    boxes, conf, mask = loaded.get_fixed(["a.jpg", "b.jpg", "missing.jpg"], 2)
+    assert boxes.shape == (3, 2, 4)
+    # Confidence-descending: 0.9 first, then 0.7; third truncated.
+    np.testing.assert_allclose(conf[0], [0.9, 0.7])
+    np.testing.assert_allclose(boxes[0, 0], [5, 5, 20, 20])
+    np.testing.assert_allclose(mask, [[1, 1], [0, 0], [0, 0]])
+
+
+def test_build_cache_with_grid_detector(tmp_path):
+    img = _png(tmp_path / "x.png", w=50, h=40)
+    out = str(tmp_path / "cache" / "det.npz")
+    cache = build_cache([img, img, str(tmp_path / "nope.png")],
+                        GridProposalDetector(), out)
+    assert os.path.exists(out)
+    boxes, conf = cache.get(img)
+    assert boxes.shape == (6, 4) and conf.shape == (6,)
+    np.testing.assert_allclose(boxes[0], [0, 0, 50, 40])
+    assert cache_path_for("/data/train_corpus.json") == "cache/train_corpus_precache.npz"
+
+
+# -- embedding store -----------------------------------------------------------
+
+
+def test_embedding_store_roundtrip_and_query(tmp_path):
+    import jax.numpy as jnp
+
+    from dclip_tpu.ops import knn_or_projection
+
+    rng = np.random.RandomState(0)
+    store = EmbeddingStore(dim=16)
+    keys = rng.randn(20, 16).astype(np.float32)
+    store.add_batch([f"p{i}" for i in range(20)], keys,
+                    positions=rng.rand(20, 4).astype(np.float32))
+    p = str(tmp_path / "store.npz")
+    store.save(p)
+    loaded = EmbeddingStore.load(p)
+    assert len(loaded) == 20 and loaded.ids[3] == "p3"
+    # Keys are L2-normalized on add (compute_faiss.py:44-48 semantics).
+    np.testing.assert_allclose(np.linalg.norm(loaded.keys, axis=1), 1.0, atol=1e-6)
+    res = knn_or_projection(
+        jnp.asarray(loaded.keys[5:7]), None, jnp.asarray(loaded.keys),
+        jnp.asarray(loaded.values), None, 0.99,
+    )
+    assert (np.asarray(res.source) == 0).all()
+    np.testing.assert_allclose(np.asarray(res.embeddings), loaded.values[5:7], atol=1e-5)
+
+
+def test_embedding_store_pad_to_multiple():
+    store = EmbeddingStore(dim=8)
+    store.add_batch(["a", "b", "c"], np.random.RandomState(1).randn(3, 8))
+    padded = store.pad_to_multiple(8)
+    assert len(padded) == 8
+    assert padded.ids[3:] == ["<pad>"] * 5
+    np.testing.assert_allclose(padded.keys[3:], 0.0)
+
+
+# -- pipeline ------------------------------------------------------------------
+
+
+@pytest.fixture
+def tiny_corpus(tmp_path):
+    items = []
+    for i in range(7):
+        p = _png(tmp_path / f"img{i}.png", w=30 + i, h=20 + i,
+                 color=(i * 30 % 255, 100, 50))
+        items.append(
+            {"image_path": p, "captions": [f"caption {i} a", f"caption {i} b"],
+             "dataset": "test", "boxes": []}
+        )
+    # One unreadable path: exercises the zero-fallback.
+    items.append({"image_path": str(tmp_path / "broken.png"),
+                  "captions": ["broken"], "dataset": "test", "boxes": []})
+    return items
+
+
+def test_pipeline_shapes_and_determinism(tiny_corpus):
+    cache = build_cache([i["image_path"] for i in tiny_corpus], GridProposalDetector())
+    pipe = MultiModalPipeline(
+        tiny_corpus, HashTokenizer(max_length=12), cache,
+        batch_size=4, max_patches=3, image_size=32, teacher_image_size=24,
+        seed=7, num_threads=2,
+    )
+    assert len(pipe) == 2
+    batches = list(pipe.epoch(0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b.pixel_values.shape == (4, 32, 32, 3)
+    assert b.teacher_pixels.shape == (4, 24, 24, 3)
+    assert b.boxes.shape == (4, 3, 4)
+    assert b.input_ids.shape == (4, 12)
+    assert b.box_mask.shape == (4, 3)
+    # Boxes rescaled into the teacher frame.
+    assert b.boxes.max() <= 24.0 + 1e-5
+    assert np.isfinite(b.pixel_values).all()
+    # Determinism: same epoch -> identical batches.
+    again = list(pipe.epoch(0))
+    np.testing.assert_array_equal(b.input_ids, again[0].input_ids)
+    np.testing.assert_array_equal(b.index, again[0].index)
+    # Different epoch -> different caption sampling or order.
+    other = list(pipe.epoch(1))
+    assert not np.array_equal(b.index, other[0].index)
+
+
+def test_pipeline_broken_image_zero_fallback(tiny_corpus):
+    pipe = MultiModalPipeline(
+        tiny_corpus, HashTokenizer(max_length=12), None,
+        batch_size=len(tiny_corpus), max_patches=2, image_size=16,
+        teacher_image_size=16, shuffle=False, drop_remainder=False,
+    )
+    (batch,) = list(pipe.epoch(0))
+    broken_row = len(tiny_corpus) - 1
+    np.testing.assert_allclose(batch.pixel_values[broken_row], 0.0)
+    np.testing.assert_allclose(batch.box_mask[broken_row], 0.0)
+
+
+def test_preprocess_matches_hf_clip_processor(tmp_path):
+    transformers = pytest.importorskip("transformers")
+    from PIL import Image
+
+    from dclip_tpu.data.pipeline import preprocess_image
+
+    rng = np.random.RandomState(0)
+    arr = (rng.rand(37, 53, 3) * 255).astype(np.uint8)
+    im = Image.fromarray(arr)
+    hf = transformers.CLIPImageProcessor()  # defaults: 224, bicubic, CLIP stats
+    want = hf(im, return_tensors="np")["pixel_values"][0].transpose(1, 2, 0)
+    got = preprocess_image(im, 224)
+    np.testing.assert_allclose(got, want, atol=1e-4)
