@@ -212,9 +212,18 @@ class DistillConfig:
 
     The reference's progressive-unfreeze hook `on_epoch_end` never fires
     under modern Lightning (SURVEY.md §3.1), so its effective behavior is
-    "only vision `proj` trainable for the whole run". We keep that as the
-    default (`unfreeze_schedule=()`) and expose the intended schedule as an
+    the init-time freeze only. We keep that as the default
+    (`unfreeze_schedule=()`) and expose the intended schedule as an
     explicit, configurable option.
+
+    Model pairing: the reference loads a ViT-L/14 student (768-d,
+    CLIP_image_distill_training.py:22) against a 512-d teacher
+    (patch_text_aggregation.py:51) — that cosine loss is shape-incompatible
+    as written (SURVEY.md §7). This build requires
+    student.projection_dim == teacher.embed_dim == teacher_clip.projection_dim
+    and defaults to the self-consistent B/16 stack (the teacher's actual
+    encoders, image_tokenizer.py:20); use vit-l-14 everywhere with
+    TeacherConfig(embed_dim=768) for an L-sized run.
     """
 
     train_file: str = ""
@@ -232,7 +241,7 @@ class DistillConfig:
     temperature: float = 0.05  # InfoNCE temp (reference :532)
     seed: int = 42
     save_top_k: int = 10  # ModelCheckpoint(save_top_k=10) (reference :27-34)
-    student_model: str = "vit-l-14"
+    student_model: str = "vit-b-16"
     teacher_clip_model: str = "vit-b-16"
     teacher: TeacherConfig = field(default_factory=TeacherConfig)
     # () reproduces the hook-never-fires reference behavior.

@@ -24,9 +24,13 @@ import jax.numpy as jnp
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """torch.nn.functional.normalize semantics (clamps norm at eps)."""
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    """torch.nn.functional.normalize semantics (clamps norm at eps).
+
+    Gradient-safe at x == 0: the clamp goes INSIDE the sqrt, so the sqrt
+    never differentiates at 0 (jnp.linalg.norm's grad there is NaN, and
+    zero rows are routine here — they're the padded patch slots)."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
 
 
 def _cross_entropy_with_diagonal(logits: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,75 @@
+"""Device mesh + sharding helpers.
+
+The reference has no multi-device support of any kind (`devices=1`,
+CLIP_image_distill_training.py:39; SURVEY.md §2.5) — this module is the
+new capability: a (data, model) mesh over whatever chips exist, with
+NamedShardings for batch-sharded data parallelism and replicated params.
+Communication is XLA collectives over ICI inserted by the compiler from
+these annotations (psum for grad reduction, all-gather for the global
+contrastive matrix) — no process groups, no NCCL analogue.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dclip_tpu.core.config import MeshConfig
+
+
+def make_mesh(
+    cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a 2-D (data, model) mesh. data=-1 consumes remaining devices."""
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    mp = max(cfg.model_parallel, 1)
+    dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
+    if dp * mp > n:
+        raise ValueError(f"mesh {dp}x{mp} needs {dp*mp} devices, have {n}")
+    grid = np.asarray(devices[: dp * mp]).reshape(dp, mp)
+    return Mesh(grid, (cfg.data_axis, cfg.model_axis))
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Shard leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
+    """device_put every array in a (dataclass or dict) batch, batch-sharded."""
+    sh = batch_sharding(mesh, data_axis)
+    d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
+    return {k: jax.device_put(v, sh) for k, v in d.items()}
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the whole mesh."""
+    sh = replicated(mesh)
+    return jax.device_put(tree, sh)
+
+
+def pad_batch_to(batch_dict: dict, multiple: int) -> tuple:
+    """Pad leading dim to a multiple of the mesh data size.
+
+    Returns (padded dict, valid_count). Pads by repeating row 0 (masked out
+    by callers using valid_count); keeps shapes static across final partial
+    batches so jit never recompiles.
+    """
+    import numpy as np_
+
+    n = next(iter(batch_dict.values())).shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return batch_dict, n
+    out = {}
+    for k, v in batch_dict.items():
+        out[k] = np_.concatenate([v, np_.repeat(v[:1], pad, axis=0)], axis=0)
+    return out, n

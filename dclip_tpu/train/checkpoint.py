@@ -1,0 +1,180 @@
+"""Checkpoint manager: step-indexed save/restore with true resume.
+
+The reference has per-epoch `torch.save` with val-loss-stamped filenames
+plus a rolling best (train_contrastive_teacher.py:393-402), Lightning
+`ModelCheckpoint(save_top_k=10, monitor=...)`
+(CLIP_image_distill_training.py:27-34), interrupt/error checkpoints
+(train_contrastive_teacher.py:404-420) — and NO resume logic anywhere
+(SURVEY.md §5). This manager keeps all those artifact semantics and adds
+what was missing: `latest()`/`restore()` so training restarts from the last
+step (TPU preemption recovery).
+
+Serialization is flax msgpack (`flax.serialization`) — a pure-pytree format
+with no pickled code, stable across JAX versions, written atomically.
+Filenames keep the reference's pattern: `<prefix>_epoch{n}_val{loss:.4f}`.
+"""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from typing import Any, Dict, List, Optional
+
+import flax.serialization
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d)
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def save_state(path: str, state: Any) -> None:
+    _atomic_write(path, flax.serialization.to_bytes(state))
+
+
+def restore_state(path: str, template: Any) -> Any:
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())
+
+
+class CheckpointManager:
+    """save_top_k retention + best tracking + latest-step resume."""
+
+    INDEX = "checkpoints.json"
+
+    def __init__(
+        self,
+        directory: str,
+        prefix: str = "ckpt",
+        save_top_k: int = 10,
+        monitor: str = "val_loss",
+        mode: str = "min",
+    ):
+        self.directory = directory
+        self.prefix = prefix
+        self.save_top_k = save_top_k
+        self.monitor = monitor
+        self.mode = mode
+        os.makedirs(directory, exist_ok=True)
+        self._index: List[Dict] = []
+        self._load_index()
+
+    # -- index -----------------------------------------------------------------
+
+    def _index_path(self) -> str:
+        return os.path.join(self.directory, self.INDEX)
+
+    def _load_index(self) -> None:
+        if os.path.exists(self._index_path()):
+            with open(self._index_path()) as f:
+                self._index = json.load(f)
+
+    def _write_index(self) -> None:
+        _atomic_write(
+            self._index_path(), json.dumps(self._index, indent=2).encode()
+        )
+
+    # -- save ---------------------------------------------------------------------
+
+    def save(
+        self,
+        state: Any,
+        step: int,
+        epoch: Optional[int] = None,
+        metrics: Optional[Dict[str, float]] = None,
+        tag: Optional[str] = None,
+    ) -> str:
+        """Write one checkpoint; retain top-k by monitored metric + latest."""
+        metrics = dict(metrics or {})
+        name = f"{self.prefix}"
+        if epoch is not None:
+            name += f"_epoch{epoch}"
+        if self.monitor in metrics:
+            name += f"_{self.monitor.replace('_loss','')}{metrics[self.monitor]:.4f}"
+        if tag:
+            name += f".{tag}"
+        name += f".step{step}.msgpack"
+        path = os.path.join(self.directory, name)
+        save_state(path, state)
+        self._index.append(
+            {
+                "path": path,
+                "step": int(step),
+                "epoch": None if epoch is None else int(epoch),
+                "metrics": {k: float(v) for k, v in metrics.items()},
+                "tag": tag,
+                "time": time.time(),
+            }
+        )
+        self._retain()
+        self._write_index()
+        return path
+
+    def save_interrupt(self, state: Any, step: int, kind: str = "interrupt") -> str:
+        """`.interrupt` / `.error` checkpoints (reference :404-420)."""
+        return self.save(state, step, tag=kind)
+
+    def _retain(self) -> None:
+        if self.save_top_k <= 0:
+            return
+        scored = [
+            e
+            for e in self._index
+            if self.monitor in e["metrics"] and not e.get("tag")
+        ]
+        sign = 1 if self.mode == "min" else -1
+        scored.sort(key=lambda e: sign * e["metrics"][self.monitor])
+        keep = set(id(e) for e in scored[: self.save_top_k])
+        latest = max(self._index, key=lambda e: e["step"], default=None)
+        new_index = []
+        for e in self._index:
+            if (
+                e.get("tag")
+                or id(e) in keep
+                or e is latest
+                or self.monitor not in e["metrics"]
+            ):
+                new_index.append(e)
+            elif os.path.exists(e["path"]):
+                os.unlink(e["path"])
+        self._index = new_index
+
+    # -- query / restore ---------------------------------------------------------
+
+    def latest(self) -> Optional[Dict]:
+        entries = [e for e in self._index if not e.get("tag")]
+        return max(entries, key=lambda e: e["step"], default=None)
+
+    def best(self) -> Optional[Dict]:
+        scored = [
+            e
+            for e in self._index
+            if self.monitor in e["metrics"] and not e.get("tag")
+        ]
+        if not scored:
+            return None
+        sign = 1 if self.mode == "min" else -1
+        return min(scored, key=lambda e: sign * e["metrics"][self.monitor])
+
+    def restore(self, template: Any, entry: Optional[Dict] = None) -> Any:
+        entry = entry or self.latest()
+        if entry is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        return restore_state(entry["path"], template)
+
+    def restore_latest_or_none(self, template: Any):
+        """Resume hook: (state, step) from the latest checkpoint, or None."""
+        entry = self.latest()
+        if entry is None:
+            return None
+        return restore_state(entry["path"], template), entry["step"]

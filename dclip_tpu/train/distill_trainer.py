@@ -1,0 +1,290 @@
+"""Student distillation trainer (the main entry point's engine).
+
+TPU-native replacement for training/CLIP_image_distillation.py:439-766 +
+CLIP_image_distill_training.py: frozen meta-teacher distilled into a CLIP
+student with cos-distill(img) + cos-distill(txt) + InfoNCE(temp 0.05)
+(:580-634, :628), AdamW + linear warmup (:679-682), grad clip 0.5 /
+accumulation 4 (CLIP_image_distill_training.py:41-42), default trainable
+set reproducing the reference's effective behavior exactly (vision params
+with 'proj' in the name + the whole text stack — see
+dclip_tpu/train/optim.py docstring), ModelCheckpoint(save_top_k, monitor)
+semantics via CheckpointManager.
+
+The reference's progressive-unfreeze / full_resolution `on_epoch_end` hook
+is dead code under modern Lightning (SURVEY.md §3.1); here the schedule is
+explicit config (`unfreeze_schedule`), default empty = reference behavior.
+
+Model-dimension note: the reference pairs a ViT-L/14 student (768-d) with a
+512-d teacher, which cannot compute its cosine loss as written (SURVEY.md
+§7 "model-id inconsistencies"); this build validates the pairing at
+construction and defaults both sides to the same width.
+
+One jitted step; teacher forwards run under stop_gradient (the functional
+`torch.no_grad()`); params replicated, batch sharded over the data axis.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dclip_tpu.core.config import CLIPConfig, DistillConfig
+from dclip_tpu.core.metrics import MetricsLogger, trace_span
+from dclip_tpu.models.clip import CLIPModule
+from dclip_tpu.models.teacher import (
+    PatchTextAggregation,
+    encode_patches,
+    encode_tokens,
+)
+from dclip_tpu.ops.losses import distillation_loss
+from dclip_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
+from dclip_tpu.train.checkpoint import CheckpointManager
+from dclip_tpu.train.optim import (
+    TrainState,
+    count_trainable,
+    make_optimizer,
+    make_train_step,
+    student_trainable_mask,
+)
+from dclip_tpu.train.teacher_trainer import masked_mean
+
+
+class DistillTrainer:
+    def __init__(
+        self,
+        cfg: DistillConfig,
+        student_variables: Dict[str, Any],
+        teacher_clip_variables: Dict[str, Any],
+        teacher_params: Any,
+        student_config: Optional[CLIPConfig] = None,
+        teacher_clip_config: Optional[CLIPConfig] = None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.student_config = student_config or CLIPConfig.from_name(cfg.student_model)
+        self.teacher_clip_config = teacher_clip_config or CLIPConfig.from_name(
+            cfg.teacher_clip_model
+        )
+        if self.student_config.projection_dim != cfg.teacher.embed_dim:
+            raise ValueError(
+                f"student projection_dim {self.student_config.projection_dim} != "
+                f"teacher embed_dim {cfg.teacher.embed_dim}: the distillation "
+                "cosine loss requires matching widths (the reference's "
+                "L/14-student-512-teacher pairing is unrunnable as written)"
+            )
+        if self.teacher_clip_config.projection_dim != cfg.teacher.embed_dim:
+            raise ValueError(
+                f"teacher CLIP projection_dim {self.teacher_clip_config.projection_dim}"
+                f" != teacher embed_dim {cfg.teacher.embed_dim}"
+            )
+        self.student = CLIPModule(self.student_config)
+        self.teacher_clip = CLIPModule(self.teacher_clip_config)
+        self.teacher = PatchTextAggregation(cfg.teacher)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+
+        self._unfrozen_extra: tuple = ()
+        self._build_optimizer(student_variables["params"])
+        self.state = TrainState.create(student_variables["params"], self.tx)
+        self.teacher_clip_variables = teacher_clip_variables
+        self.teacher_params = teacher_params
+        self._put_replicated()
+        # donate=False: student params may alias the teacher-CLIP variables
+        # (e.g. student initialized from the same pretrained weights), and
+        # donating aliased buffers is undefined.
+        self._train_step = make_train_step(self._loss, self.tx, donate=False)
+        self._eval_loss = jax.jit(self._loss)
+        self._batch_sharding = batch_sharding(self.mesh, cfg.mesh.data_axis)
+
+    def _build_optimizer(self, params) -> None:
+        mask = student_trainable_mask(params, self._unfrozen_extra)
+        n_train, n_total = count_trainable(mask)
+        print(f"Student trainable leaves: {n_train}/{n_total}")
+        self.tx = make_optimizer(
+            self.cfg.learning_rate,
+            mask,
+            kind="adamw",
+            warmup_steps=self.cfg.warmup_steps,
+            grad_clip=self.cfg.gradient_clip_val,
+            accumulate_steps=self.cfg.accumulate_grad_batches,
+        )
+
+    def _put_replicated(self):
+        self.state = replicate_tree(self.state, self.mesh)
+        self.teacher_clip_variables = replicate_tree(
+            self.teacher_clip_variables, self.mesh
+        )
+        self.teacher_params = replicate_tree(self.teacher_params, self.mesh)
+
+    # -- teacher forward (frozen) ------------------------------------------------
+
+    def _teacher_targets(self, teacher_clip_variables, teacher_params, batch):
+        pe = encode_patches(
+            self.teacher_clip,
+            teacher_clip_variables,
+            batch["teacher_pixels"],
+            batch["boxes"],
+            batch["box_mask"],
+            patch_size=self.teacher_clip_config.vision.image_size,
+        )
+        te, tmask = encode_tokens(
+            self.teacher_clip,
+            teacher_clip_variables,
+            batch["input_ids"],
+            batch["attention_mask"],
+            self.teacher_clip_config.text.eos_token_id,
+        )
+        out = self.teacher.apply(
+            {"params": teacher_params}, te, pe, tmask, batch["box_mask"]
+        )
+        # aggregate_text per caption (CLIP_image_distillation.py:605-608).
+        teacher_text = masked_mean(te, tmask)
+        return (
+            jax.lax.stop_gradient(out.global_embedding),
+            jax.lax.stop_gradient(teacher_text),
+        )
+
+    # -- loss ------------------------------------------------------------------------
+
+    def _loss(self, params, teacher_clip_variables, teacher_params, batch):
+        teacher_img, teacher_txt = self._teacher_targets(
+            teacher_clip_variables, teacher_params, batch
+        )
+        student_img = self.student.apply(
+            {"params": params},
+            batch["pixel_values"],
+            method=self.student.get_image_features,
+        )
+        student_txt = self.student.apply(
+            {"params": params},
+            batch["input_ids"],
+            batch["attention_mask"],
+            method=self.student.get_text_features,
+        )
+        total, parts = distillation_loss(
+            student_img,
+            student_txt,
+            teacher_img,
+            teacher_txt,
+            temperature=self.cfg.temperature,
+            contrastive_weight=self.cfg.contrastive_weight,
+        )
+        return total, parts
+
+    # -- loops ---------------------------------------------------------------------------
+
+    def _device_batch(self, batch) -> Dict[str, jnp.ndarray]:
+        d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
+        return {
+            k: jax.device_put(v, self._batch_sharding)
+            for k, v in d.items()
+            if k != "index"
+        }
+
+    def train_epoch(self, batches: Iterable, logger: Optional[MetricsLogger] = None) -> float:
+        total, n = 0.0, 0
+        for batch in batches:
+            with trace_span("distill_train_step"):
+                self.state, metrics = self._train_step(
+                    self.state,
+                    self.teacher_clip_variables,
+                    self.teacher_params,
+                    self._device_batch(batch),
+                )
+            total += float(metrics["loss"])
+            n += 1
+            if logger:
+                logger.log(
+                    int(self.state.step),
+                    {
+                        "train_loss": float(metrics["loss"]),
+                        "image_distill_loss": float(metrics["image_distill_loss"]),
+                        "text_distill_loss": float(metrics["text_distill_loss"]),
+                        "contrastive_loss": float(metrics["contrastive_loss"]),
+                    },
+                )
+        return total / max(n, 1)
+
+    def validate(self, batches: Iterable) -> float:
+        total, n = 0.0, 0
+        for batch in batches:
+            loss, _ = self._eval_loss(
+                self.state.params,
+                self.teacher_clip_variables,
+                self.teacher_params,
+                self._device_batch(batch),
+            )
+            total += float(loss)
+            n += 1
+        return total / max(n, 1)
+
+    def _maybe_unfreeze(self, epoch: int) -> None:
+        """Explicit progressive-unfreeze (reference intended :723-763)."""
+        new = tuple(
+            p
+            for stage in self.cfg.unfreeze_schedule
+            if epoch >= stage.epoch
+            for p in stage.patterns
+        )
+        if set(new) != set(self._unfrozen_extra):
+            self._unfrozen_extra = new
+            params = jax.device_get(self.state.params)
+            self._build_optimizer(params)
+            self.state = replicate_tree(
+                TrainState(
+                    step=jax.device_get(self.state.step),
+                    params=params,
+                    opt_state=self.tx.init(params),
+                ),
+                self.mesh,
+            )
+            self._train_step = make_train_step(self._loss, self.tx, donate=False)
+
+    def fit(
+        self,
+        train_pipeline,
+        val_pipeline=None,
+        checkpoints: Optional[CheckpointManager] = None,
+        logger: Optional[MetricsLogger] = None,
+        start_epoch: int = 0,
+    ) -> Dict[str, list]:
+        history: Dict[str, list] = {"train_loss": [], "val_loss": []}
+        try:
+            for epoch in range(start_epoch, self.cfg.phase1_epochs):
+                self._maybe_unfreeze(epoch)
+                train_loss = self.train_epoch(train_pipeline.epoch(epoch), logger)
+                history["train_loss"].append(train_loss)
+                val_loss = (
+                    self.validate(val_pipeline.epoch(epoch))
+                    if val_pipeline is not None
+                    else train_loss
+                )
+                history["val_loss"].append(val_loss)
+                print(
+                    f"Epoch {epoch}: train_loss={train_loss:.4f} val_loss={val_loss:.4f}"
+                )
+                if checkpoints is not None:
+                    checkpoints.save(
+                        self.state,
+                        step=int(self.state.step),
+                        epoch=epoch,
+                        metrics={"train_loss": train_loss, "val_loss": val_loss},
+                    )
+        except KeyboardInterrupt:
+            if checkpoints is not None:
+                checkpoints.save_interrupt(self.state, int(self.state.step), "interrupt")
+            raise
+        except Exception:
+            if checkpoints is not None:
+                checkpoints.save_interrupt(self.state, int(self.state.step), "error")
+            raise
+        return history
+
+    def resume(self, checkpoints: CheckpointManager) -> int:
+        restored = checkpoints.restore_latest_or_none(jax.device_get(self.state))
+        if restored is None:
+            return 0
+        state, _ = restored
+        self.state = replicate_tree(state, self.mesh)
+        entry = checkpoints.latest()
+        return (entry.get("epoch") or 0) + 1 if entry else 0

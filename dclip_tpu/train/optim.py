@@ -1,0 +1,156 @@
+"""Optimizer assembly: trainable-pattern masks, schedules, accumulation.
+
+Replaces the reference's `requires_grad` mutation with optax masked
+transforms (the functional equivalent):
+- teacher: freeze all, unfreeze names matching
+  ['cross_attn','attention','proj','fusion','final']
+  (train_contrastive_teacher.py:125-134) — Adam lr=1e-5 (:245-248).
+- student: `"proj" not in name` freeze over vision_model only
+  (CLIP_image_distillation.py:504-506). NOTE the reference's substring
+  match keeps every `self_attn.*_proj` weight in all vision layers
+  trainable, and never freezes the text encoder or projections; the
+  default mask reproduces exactly that (README's "text encoder remains
+  frozen" describes the dead on_epoch_end hook, not the code that runs —
+  SURVEY.md §3.1).
+- AdamW + linear warmup (CLIP_image_distillation.py:679-682), grad clip 0.5
+  and accumulation 4 (CLIP_image_distill_training.py:41-42).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def param_paths(params) -> Dict[str, Any]:
+    """Flatten a param pytree to {'/'.join(path): leaf}."""
+    flat = flax.traverse_util.flatten_dict(params)
+    return {"/".join(str(k) for k in path): v for path, v in flat.items()}
+
+
+def pattern_mask(
+    params, patterns: Sequence[str], default: bool = False
+) -> Any:
+    """Pytree of bools: True where any pattern is a substring of the path.
+
+    `default` is the value for non-matching leaves. Matches the reference's
+    `any(p in name for p in patterns)` substring semantics.
+    """
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for path, _ in flat.items():
+        name = "/".join(str(k) for k in path)
+        out[path] = any(p in name for p in patterns) or default
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def student_trainable_mask(params, extra_patterns: Sequence[str] = ()) -> Any:
+    """Default distillation mask (reference :504-506 semantics):
+    vision_model leaves need 'proj' in their path (or any extra pattern);
+    every non-vision leaf is trainable."""
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for path, _ in flat.items():
+        name = "/".join(str(k) for k in path)
+        if name.startswith("vision_model/"):
+            out[path] = ("proj" in name) or any(p in name for p in extra_patterns)
+        else:
+            out[path] = True
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def count_trainable(mask) -> Tuple[int, int]:
+    leaves = jax.tree_util.tree_leaves(mask)
+    return sum(bool(x) for x in leaves), len(leaves)
+
+
+def linear_warmup_schedule(
+    learning_rate: float, warmup_steps: int
+) -> optax.Schedule:
+    """LambdaLR-style linear warmup then constant (reference :679-682)."""
+    if warmup_steps <= 0:
+        return optax.constant_schedule(learning_rate)
+
+    def schedule(step):
+        frac = jnp.minimum((step + 1) / warmup_steps, 1.0)
+        return learning_rate * frac
+
+    return schedule
+
+
+def make_optimizer(
+    learning_rate: float,
+    mask,
+    *,
+    kind: str = "adamw",
+    warmup_steps: int = 0,
+    grad_clip: Optional[float] = None,
+    accumulate_steps: int = 1,
+    weight_decay: float = 0.01,
+) -> optax.GradientTransformation:
+    """Masked (Adam|AdamW) with optional warmup, clipping, accumulation."""
+    sched = linear_warmup_schedule(learning_rate, warmup_steps)
+    if kind == "adamw":
+        core = optax.adamw(sched, weight_decay=weight_decay)
+    elif kind == "adam":
+        core = optax.adam(sched)
+    else:
+        raise ValueError(f"unknown optimizer kind {kind!r}")
+    chain = []
+    if grad_clip is not None and grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(core)
+    tx: optax.GradientTransformation = optax.chain(*chain)
+    tx = optax.masked(tx, mask)
+    # Masked-out leaves must receive zero updates even from accumulation.
+    tx = optax.chain(tx, optax.masked(optax.set_to_zero(), jax.tree_util.tree_map(lambda m: not m, mask)))
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+        )
+
+    def apply_gradients(self, grads, tx: optax.GradientTransformation) -> "TrainState":
+        updates, new_opt = tx.update(grads, self.opt_state, self.params)
+        return TrainState(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def make_train_step(
+    loss_fn: Callable[..., Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]],
+    tx: optax.GradientTransformation,
+    donate: bool = True,
+):
+    """Build the jitted (state, *args) -> (state, metrics) step.
+
+    loss_fn(params, *args) -> (loss, metrics dict). One trace; the mesh
+    placement of inputs decides single- vs multi-chip execution (pjit
+    style — XLA inserts the ICI collectives from the shardings).
+    """
+
+    def step(state: TrainState, *args):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, *args
+        )
+        return state.apply_gradients(grads, tx), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

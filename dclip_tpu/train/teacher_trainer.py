@@ -1,0 +1,214 @@
+"""Meta-teacher contrastive trainer.
+
+TPU-native replacement for training/train_contrastive_teacher.py: same
+training semantics — seed 42 (:99), only cross-attention params train
+(:125-134 name-pattern freeze), Adam lr=1e-5 (:245-248), symmetric InfoNCE
+temp=0.05 between the teacher's fused global embedding and the mean-pooled
+text embedding (:333-368 with text via aggregate_text,
+text_tokenizer.py:220-234), per-epoch checkpoints stamped with val loss +
+rolling best (:393-402), interrupt/error checkpoints (:404-420) — but the
+whole step is ONE jitted function: batched region crops -> frozen CLIP
+forwards -> cross-attention -> loss, no per-image Python, no KNN pickle
+cache to sync (embeddings are recomputed on-device faster than the
+reference can deserialize them; `--gradient_accumulation` actually works
+here, unlike the reference where it parses and does nothing, :435).
+
+Multi-chip: params replicated, batch sharded over the mesh data axis; the
+global [B, B] contrastive matrix emerges from XLA's all-gather under jit.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dclip_tpu.core.config import CLIPConfig, TeacherTrainConfig
+from dclip_tpu.core.metrics import MetricsLogger, trace_span
+from dclip_tpu.models.clip import CLIPModule
+from dclip_tpu.models.teacher import (
+    PatchTextAggregation,
+    encode_patches,
+    encode_tokens,
+)
+from dclip_tpu.ops.losses import info_nce
+from dclip_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
+from dclip_tpu.train.checkpoint import CheckpointManager
+from dclip_tpu.train.optim import (
+    TrainState,
+    count_trainable,
+    make_optimizer,
+    make_train_step,
+    pattern_mask,
+)
+
+
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """aggregate_text: mean over content tokens (text_tokenizer.py:220-234)."""
+    denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+    return jnp.sum(x * mask[..., None], axis=1) / denom
+
+
+class TeacherTrainer:
+    def __init__(
+        self,
+        cfg: TeacherTrainConfig,
+        clip_variables: Dict[str, Any],
+        clip_config: Optional[CLIPConfig] = None,
+        mesh=None,
+        teacher_params: Optional[Any] = None,
+    ):
+        self.cfg = cfg
+        self.clip_config = clip_config or CLIPConfig.from_name(cfg.clip_model)
+        self.clip = CLIPModule(self.clip_config)
+        self.teacher = PatchTextAggregation(cfg.teacher)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+
+        if teacher_params is None:
+            d = cfg.teacher.embed_dim
+            dummy_text = jnp.zeros((1, cfg.teacher.max_text_tokens, d))
+            dummy_patch = jnp.zeros((1, cfg.teacher.max_patches, d))
+            teacher_params = self.teacher.init(
+                jax.random.PRNGKey(cfg.seed), dummy_text, dummy_patch
+            )["params"]
+        mask = pattern_mask(teacher_params, cfg.trainable_patterns)
+        n_train, n_total = count_trainable(mask)
+        print(f"Teacher trainable leaves: {n_train}/{n_total}")
+        self.tx = make_optimizer(
+            cfg.learning_rate,
+            mask,
+            kind="adam",
+            accumulate_steps=cfg.gradient_accumulation,
+        )
+        self.state = TrainState.create(teacher_params, self.tx)
+        self.clip_variables = clip_variables
+        self._put_replicated()
+        self._train_step = make_train_step(self._loss, self.tx)
+        self._eval_loss = jax.jit(self._loss)
+        self._batch_sharding = batch_sharding(self.mesh, cfg.mesh.data_axis)
+
+    def _put_replicated(self):
+        self.state = replicate_tree(self.state, self.mesh)
+        self.clip_variables = replicate_tree(self.clip_variables, self.mesh)
+
+    # -- loss ------------------------------------------------------------------
+
+    def _loss(self, params, clip_variables, batch):
+        pe = encode_patches(
+            self.clip,
+            clip_variables,
+            batch["teacher_pixels"],
+            batch["boxes"],
+            batch["box_mask"],
+            patch_size=self.clip_config.vision.image_size,
+        )
+        te, tmask = encode_tokens(
+            self.clip,
+            clip_variables,
+            batch["input_ids"],
+            batch["attention_mask"],
+            self.clip_config.text.eos_token_id,
+        )
+        out = self.teacher.apply(
+            {"params": params}, te, pe, tmask, batch["box_mask"]
+        )
+        text_embeddings = masked_mean(te, tmask)
+        loss = info_nce(out.global_embedding, text_embeddings, self.cfg.temperature)
+        return loss, {"loss": loss, "contrastive_loss": loss}
+
+    # -- loops ------------------------------------------------------------------
+
+    def _device_batch(self, batch) -> Dict[str, jnp.ndarray]:
+        d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
+        return {
+            k: jax.device_put(v, self._batch_sharding)
+            for k, v in d.items()
+            if k != "index"
+        }
+
+    def train_epoch(self, batches: Iterable, logger: Optional[MetricsLogger] = None) -> float:
+        total, n = 0.0, 0
+        for batch in batches:
+            with trace_span("teacher_train_step"):
+                self.state, metrics = self._train_step(
+                    self.state, self.clip_variables, self._device_batch(batch)
+                )
+            loss = float(metrics["loss"])
+            total += loss
+            n += 1
+            if logger:
+                logger.log(int(self.state.step), {"train_loss": loss})
+        return total / max(n, 1)
+
+    def validate(self, batches: Iterable) -> float:
+        total, n = 0.0, 0
+        for batch in batches:
+            loss, _ = self._eval_loss(
+                self.state.params, self.clip_variables, self._device_batch(batch)
+            )
+            total += float(loss)
+            n += 1
+        return total / max(n, 1)
+
+    def fit(
+        self,
+        train_pipeline,
+        val_pipeline=None,
+        checkpoints: Optional[CheckpointManager] = None,
+        logger: Optional[MetricsLogger] = None,
+        start_epoch: int = 0,
+    ) -> Dict[str, list]:
+        history: Dict[str, list] = {"train_loss": [], "val_loss": []}
+        try:
+            for epoch in range(start_epoch, self.cfg.epochs):
+                train_loss = self.train_epoch(train_pipeline.epoch(epoch), logger)
+                history["train_loss"].append(train_loss)
+                val_loss = (
+                    self.validate(val_pipeline.epoch(epoch))
+                    if val_pipeline is not None
+                    else train_loss
+                )
+                history["val_loss"].append(val_loss)
+                print(
+                    f"Epoch {epoch}: train_loss={train_loss:.4f} val_loss={val_loss:.4f}"
+                )
+                if checkpoints is not None:
+                    checkpoints.save(
+                        self.state,
+                        step=int(self.state.step),
+                        epoch=epoch,
+                        metrics={"val_loss": val_loss, "train_loss": train_loss},
+                    )
+        except KeyboardInterrupt:
+            if checkpoints is not None:
+                checkpoints.save_interrupt(self.state, int(self.state.step), "interrupt")
+            raise
+        except Exception:
+            if checkpoints is not None:
+                checkpoints.save_interrupt(self.state, int(self.state.step), "error")
+            raise
+        return history
+
+    # -- resume --------------------------------------------------------------------
+
+    def resume(self, checkpoints: CheckpointManager) -> int:
+        """Restore latest checkpoint; returns the epoch to resume from."""
+        restored = checkpoints.restore_latest_or_none(
+            jax.device_get(self.state)
+        )
+        if restored is None:
+            return 0
+        state, _ = restored
+        self.state = replicate_tree(state, self.mesh)
+        entry = checkpoints.latest()
+        return (entry.get("epoch") or 0) + 1 if entry else 0
+
+
+def teacher_config_summary(cfg: TeacherTrainConfig) -> str:
+    """Debug dump like train_contrastive_teacher.py:110-123."""
+    lines = ["=== Teacher training configuration ==="]
+    for f in dataclasses.fields(cfg):
+        lines.append(f"{f.name}: {getattr(cfg, f.name)}")
+    return "\n".join(lines)
