@@ -1,0 +1,90 @@
+"""Shared CLI plumbing: model/tokenizer/mesh flags used by every entry point.
+
+The reference hardcodes model ids, absolute Windows paths, and PATH/TO
+placeholders in-source (SURVEY.md §5 "Config / flag system"); here every
+entry point takes the same explicit flags:
+  --model_preset   vit-b-32 | vit-b-16 | vit-l-14 | tiny
+  --clip_weights   local HF snapshot dir / .bin / .safetensors ('random'
+                   initializes randomly — useful for smoke tests; there is
+                   no network download path, zero-egress by design)
+  --tokenizer_dir  dir containing vocab.json + merges.txt ('hash' selects
+                   the test tokenizer)
+  --mesh_data/--mesh_model  device mesh shape (-1 = all remaining chips)
+"""
+from __future__ import annotations
+
+import argparse
+from typing import Any, Dict, Tuple
+
+import jax
+
+from dclip_tpu.core.config import CLIPConfig, MeshConfig
+from dclip_tpu.models.clip import CLIPModule
+
+
+def add_model_args(p: argparse.ArgumentParser, default_preset: str = "vit-b-16") -> None:
+    p.add_argument("--model_preset", default=default_preset,
+                   help="CLIP preset: vit-b-32|vit-b-16|vit-l-14|tiny or HF id alias")
+    p.add_argument("--clip_weights", default="random",
+                   help="local HF snapshot dir / weight file, or 'random'")
+    p.add_argument("--tokenizer_dir", default="hash",
+                   help="dir with vocab.json+merges.txt, or 'hash' (test tokenizer)")
+    p.add_argument("--seed", type=int, default=42)
+
+
+def add_mesh_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--mesh_data", type=int, default=-1,
+                   help="data-parallel mesh size (-1: all remaining devices)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="model-parallel mesh size")
+
+
+def mesh_config(args) -> MeshConfig:
+    return MeshConfig(
+        data_parallel=getattr(args, "mesh_data", -1),
+        model_parallel=getattr(args, "mesh_model", 1),
+    )
+
+
+def load_clip(
+    preset: str, weights: str, seed: int = 0
+) -> Tuple[CLIPConfig, CLIPModule, Dict[str, Any]]:
+    """Build a CLIPModule + variables from a preset and a weights source."""
+    import jax.numpy as jnp
+
+    cfg = CLIPConfig.from_name(preset)
+    model = CLIPModule(cfg)
+    if weights == "random":
+        variables = model.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, cfg.text.max_length), jnp.int32),
+            jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
+        )
+    else:
+        from dclip_tpu.models.hf_import import load_pretrained
+
+        variables = {"params": load_pretrained(weights, cfg)}
+    return cfg, model, variables
+
+
+def load_tokenizer(tokenizer_dir: str, max_length: int = 77):
+    if tokenizer_dir == "hash":
+        from dclip_tpu.data.tokenizer import HashTokenizer
+
+        return HashTokenizer(vocab_size=1000, max_length=max_length)
+    from dclip_tpu.data.tokenizer import CLIPTokenizer
+
+    return CLIPTokenizer.from_pretrained_dir(tokenizer_dir, max_length=max_length)
+
+
+def restore_student_params(checkpoint: str, template_params):
+    """Load student params from a CheckpointManager msgpack file: accepts a
+    raw params file or a full TrainState file (reference evals load with
+    strict=False from Lightning checkpoints, flickr30k_eval.py:126-132)."""
+    import flax.serialization
+
+    with open(checkpoint, "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
+    if isinstance(raw, dict) and "params" in raw:  # full TrainState file
+        raw = raw["params"]
+    return flax.serialization.from_state_dict(template_params, raw)

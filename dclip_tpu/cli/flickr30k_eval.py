@@ -1,0 +1,58 @@
+"""Retrieval eval CLI — the reference's `eval_scripts/flickr30k_eval.py`
+(CLI contract :286-298: --max_images, --model {base,custom,both},
+--checkpoint), plus the explicit --dataset_json the reference hardcodes.
+
+    python -m dclip_tpu.cli.flickr30k_eval --dataset_json flickr_test.json \
+        --max_images 1000 --model both --checkpoint checkpoints/...msgpack \
+        [model flags]
+"""
+from __future__ import annotations
+
+import argparse
+
+from dclip_tpu.cli.common import add_model_args, load_clip, load_tokenizer, restore_student_params
+from dclip_tpu.eval.retrieval import (
+    evaluate_retrieval,
+    load_eval_items,
+    print_retrieval_table,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Karpathy-split retrieval evaluation")
+    p.add_argument("--dataset_json", required=True)
+    p.add_argument("--max_images", type=int, default=1000)
+    p.add_argument("--model", choices=["base", "custom", "both"], default="both")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--batch_size", type=int, default=256)
+    add_model_args(p)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg, model, variables = load_clip(args.model_preset, args.clip_weights, args.seed)
+    tokenizer = load_tokenizer(args.tokenizer_dir, cfg.text.max_length)
+    items = load_eval_items(args.dataset_json, args.max_images)
+    print(f"Evaluating on {len(items)} images")
+
+    results = {}
+    if args.model in ("base", "both"):
+        results["base"] = evaluate_retrieval(
+            model, variables, tokenizer, items, args.batch_size,
+            cfg.vision.image_size,
+        )
+    if args.model in ("custom", "both"):
+        if not args.checkpoint:
+            raise SystemExit("--checkpoint is required for --model custom/both")
+        params = restore_student_params(args.checkpoint, variables["params"])
+        results["custom"] = evaluate_retrieval(
+            model, {"params": params}, tokenizer, items, args.batch_size,
+            cfg.vision.image_size,
+        )
+    print_retrieval_table(results)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

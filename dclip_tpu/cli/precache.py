@@ -1,0 +1,71 @@
+"""Offline cache builder CLI — the reference's `training/train_pickle.py`
+(__main__ at :178-199 runs precache_yolo + precache_knn over one corpus
+JSON; here both artifacts in one pass, flags instead of a hardcoded path).
+
+    python -m dclip_tpu.cli.precache --json_file data/teacher_train.json \
+        --cache_dir cache [--build_index] [model flags]
+
+Artifacts:
+- <cache_dir>/<stem>_precache.npz   detection cache (replaces *_precache.pkl)
+- <cache_dir>/<stem>_patch_index.npz  embedding store (replaces
+  *_knn_cache.pkl + faiss .idx + embeddings JSON) when --build_index is set
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from dclip_tpu.cli.common import add_model_args, load_clip
+from dclip_tpu.data.corpus import load_corpus
+from dclip_tpu.data.detection_cache import (
+    DetectionCache,
+    GridProposalDetector,
+    build_cache,
+    cache_path_for,
+)
+from dclip_tpu.data.index import build_patch_index
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Build detection + patch-index caches")
+    p.add_argument("--json_file", required=True)
+    p.add_argument("--cache_dir", default="cache")
+    p.add_argument("--detector", choices=["grid"], default="grid",
+                   help="detector plugin (offline YOLO runs plug in here by "
+                        "writing the same npz cache artifact)")
+    p.add_argument("--build_index", action="store_true",
+                   help="also build the patch EmbeddingStore (compute_faiss role)")
+    p.add_argument("--batch_size", type=int, default=256)
+    add_model_args(p)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    items = load_corpus(args.json_file)
+    paths = [it["image_path"] for it in items]
+    print(f"{len(items)} corpus items, {len(dict.fromkeys(paths))} unique images")
+
+    det_path = cache_path_for(args.json_file, "precache", args.cache_dir)
+    existing = DetectionCache.load(det_path) if os.path.exists(det_path) else None
+    cache = build_cache(paths, GridProposalDetector(), det_path, existing)
+    print(f"Detection cache: {det_path} ({len(cache)} images)")
+
+    if args.build_index:
+        cfg, model, variables = load_clip(
+            args.model_preset, args.clip_weights, args.seed
+        )
+        idx_path = cache_path_for(args.json_file, "patch_index", args.cache_dir)
+        store = build_patch_index(
+            paths, model, variables,
+            detection_cache=cache,
+            image_size=cfg.vision.image_size,
+            batch_size=args.batch_size,
+            output_path=idx_path,
+        )
+        print(f"Patch index: {idx_path} ({len(store)} embeddings)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,176 @@
+"""Student distillation CLI — the reference's
+`CLIP_image_distill_training.py` entry point (CLI contract
+CLIP_image_distillation.py:711-721 + CLIP_image_distill_training.py:47-52).
+
+    python -m dclip_tpu.cli.train_distill --train_file corpus_train.json \
+        --val_file corpus_val.json --train_batch_size 32 --eval_batch_size 32 \
+        --learning_rate 2e-5 --warmup_steps 100 --total_steps 10000 \
+        --phase1_epochs 2 --checkpoint_dir checkpoints \
+        --teacher_checkpoint models/teacher_contrastive/...msgpack \
+        [model/mesh flags]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from dclip_tpu.cli.common import (
+    add_mesh_args,
+    add_model_args,
+    load_clip,
+    load_tokenizer,
+    mesh_config,
+)
+from dclip_tpu.core.config import DistillConfig, TeacherConfig
+from dclip_tpu.core.metrics import MetricsLogger
+from dclip_tpu.data.corpus import load_corpus
+from dclip_tpu.data.detection_cache import DetectionCache
+from dclip_tpu.data.pipeline import MultiModalPipeline
+from dclip_tpu.parallel.mesh import make_mesh
+from dclip_tpu.train.checkpoint import CheckpointManager
+from dclip_tpu.train.distill_trainer import DistillTrainer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Distill the meta-teacher into a CLIP student")
+    p.add_argument("--train_file", required=True)
+    p.add_argument("--val_file", default=None)
+    p.add_argument("--train_batch_size", type=int, default=32)
+    p.add_argument("--eval_batch_size", type=int, default=32)
+    p.add_argument("--learning_rate", type=float, default=2e-5)
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--total_steps", type=int, default=1000)
+    p.add_argument("--phase1_epochs", type=int, default=2)
+    p.add_argument("--checkpoint_dir", default="checkpoints")
+    p.add_argument("--accumulate_grad_batches", type=int, default=4)
+    p.add_argument("--gradient_clip_val", type=float, default=0.5)
+    p.add_argument("--teacher_checkpoint", default=None,
+                   help="teacher cross-attention params (msgpack from "
+                        "cli.train_teacher, or a torch .pth state_dict)")
+    p.add_argument("--student_preset", default=None,
+                   help="student CLIP preset (default: same as --model_preset)")
+    p.add_argument("--student_weights", default=None,
+                   help="student weights source (default: same as --clip_weights)")
+    p.add_argument("--detection_cache", default=None)
+    p.add_argument("--max_patches", type=int, default=8)
+    p.add_argument("--teacher_image_size", type=int, default=224)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--metrics_csv", default=None)
+    add_model_args(p)  # teacher CLIP stack
+    add_mesh_args(p)
+    return p
+
+
+def load_teacher_params(path, teacher_cfg, clip_cfg, seed):
+    """Teacher cross-attention params from msgpack/torch, or fresh init."""
+    import jax
+    import jax.numpy as jnp
+
+    from dclip_tpu.models.teacher import PatchTextAggregation
+
+    teacher = PatchTextAggregation(teacher_cfg)
+    d = teacher_cfg.embed_dim
+    template = teacher.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, teacher_cfg.max_text_tokens, d)),
+        jnp.zeros((1, teacher_cfg.max_patches, d)),
+    )["params"]
+    if not path:
+        print("Warning: no teacher checkpoint given, using fresh teacher init")
+        return template
+    if path.endswith((".pth", ".pt", ".bin")):
+        import torch
+
+        from dclip_tpu.models.teacher import import_torch_teacher
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        return import_torch_teacher(sd)
+    from dclip_tpu.cli.common import restore_student_params
+
+    return restore_student_params(path, template)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    teacher_clip_cfg, _, teacher_clip_vars = load_clip(
+        args.model_preset, args.clip_weights, args.seed
+    )
+    student_preset = args.student_preset or args.model_preset
+    student_weights = args.student_weights or args.clip_weights
+    student_cfg, _, student_vars = load_clip(student_preset, student_weights, args.seed)
+    tokenizer = load_tokenizer(args.tokenizer_dir, student_cfg.text.max_length)
+
+    teacher_cfg = TeacherConfig(
+        embed_dim=teacher_clip_cfg.projection_dim,
+        max_patches=args.max_patches,
+        max_text_tokens=teacher_clip_cfg.text.max_length,
+    )
+    cfg = DistillConfig(
+        train_file=args.train_file,
+        val_file=args.val_file,
+        train_batch_size=args.train_batch_size,
+        eval_batch_size=args.eval_batch_size,
+        learning_rate=args.learning_rate,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.total_steps,
+        phase1_epochs=args.phase1_epochs,
+        checkpoint_dir=args.checkpoint_dir,
+        gradient_clip_val=args.gradient_clip_val,
+        accumulate_grad_batches=args.accumulate_grad_batches,
+        seed=args.seed,
+        student_model=student_preset,
+        teacher_clip_model=args.model_preset,
+        teacher=teacher_cfg,
+        mesh=mesh_config(args),
+    )
+
+    teacher_params = load_teacher_params(
+        args.teacher_checkpoint, teacher_cfg, teacher_clip_cfg, args.seed
+    )
+
+    cache = (
+        DetectionCache.load(args.detection_cache)
+        if args.detection_cache and os.path.exists(args.detection_cache)
+        else None
+    )
+
+    def pipeline_for(path, batch_size):
+        return MultiModalPipeline(
+            load_corpus(path),
+            tokenizer,
+            cache,
+            batch_size=batch_size,
+            max_patches=cfg.teacher.max_patches,
+            image_size=student_cfg.vision.image_size,
+            teacher_image_size=args.teacher_image_size,
+            max_text_tokens=student_cfg.text.max_length,
+            seed=cfg.seed,
+        )
+
+    train_pipe = pipeline_for(cfg.train_file, cfg.train_batch_size)
+    val_pipe = (
+        pipeline_for(cfg.val_file, cfg.eval_batch_size)
+        if cfg.val_file and os.path.exists(cfg.val_file)
+        else None
+    )
+
+    mesh = make_mesh(cfg.mesh)
+    trainer = DistillTrainer(
+        cfg, student_vars, teacher_clip_vars, teacher_params,
+        student_cfg, teacher_clip_cfg, mesh=mesh,
+    )
+    ckpts = CheckpointManager(
+        cfg.checkpoint_dir,
+        prefix="distill",
+        save_top_k=cfg.save_top_k,
+        monitor="train_loss",  # ModelCheckpoint(monitor="train_loss") (:27-34)
+    )
+    start_epoch = trainer.resume(ckpts) if args.resume else 0
+    logger = MetricsLogger(args.metrics_csv, print_every=cfg.log_every)
+    trainer.fit(train_pipe, val_pipe, checkpoints=ckpts, logger=logger,
+                start_epoch=start_epoch)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

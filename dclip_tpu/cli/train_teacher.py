@@ -1,0 +1,123 @@
+"""Teacher training CLI — the reference's `train_contrastive_teacher.py`
+entry point (CLI contract :430-440), TPU-native.
+
+    python -m dclip_tpu.cli.train_teacher --train_file corpus_train.json \
+        --epochs 5 --batch_size 32 --learning_rate 1e-5 \
+        --output_path models/teacher_contrastive [--val_file ...] \
+        [--detection_cache cache/corpus_precache.npz] [model/mesh flags]
+
+Val file defaults to train_file with "_train" -> "_val"
+(reference :218). Checkpoints: per-epoch val-loss-stamped + best + resume.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from dclip_tpu.cli.common import (
+    add_mesh_args,
+    add_model_args,
+    load_clip,
+    load_tokenizer,
+    mesh_config,
+)
+from dclip_tpu.core.config import TeacherConfig, TeacherTrainConfig
+from dclip_tpu.core.metrics import MetricsLogger
+from dclip_tpu.data.corpus import load_corpus
+from dclip_tpu.data.detection_cache import DetectionCache
+from dclip_tpu.data.pipeline import MultiModalPipeline
+from dclip_tpu.parallel.mesh import make_mesh
+from dclip_tpu.train.checkpoint import CheckpointManager
+from dclip_tpu.train.teacher_trainer import TeacherTrainer, teacher_config_summary
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train the cross-modal meta-teacher")
+    p.add_argument("--train_file", required=True)
+    p.add_argument("--val_file", default=None)
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--gradient_accumulation", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--output_path", default="models/teacher_contrastive")
+    p.add_argument("--detection_cache", default=None,
+                   help="npz detection cache (see cli.precache)")
+    p.add_argument("--max_patches", type=int, default=8)
+    p.add_argument("--teacher_image_size", type=int, default=224)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--metrics_csv", default=None)
+    add_model_args(p)
+    add_mesh_args(p)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    clip_cfg, _, clip_vars = load_clip(args.model_preset, args.clip_weights, args.seed)
+    tokenizer = load_tokenizer(args.tokenizer_dir, clip_cfg.text.max_length)
+
+    cfg = TeacherTrainConfig(
+        train_file=args.train_file,
+        val_file=args.val_file or args.train_file.replace("_train", "_val"),
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        gradient_accumulation=args.gradient_accumulation,
+        learning_rate=args.learning_rate,
+        output_path=args.output_path,
+        seed=args.seed,
+        teacher=TeacherConfig(
+            embed_dim=clip_cfg.projection_dim,
+            max_patches=args.max_patches,
+            max_text_tokens=clip_cfg.text.max_length,
+        ),
+        clip_model=args.model_preset,
+        mesh=mesh_config(args),
+    )
+    print(teacher_config_summary(cfg))
+
+    cache = (
+        DetectionCache.load(args.detection_cache)
+        if args.detection_cache and os.path.exists(args.detection_cache)
+        else None
+    )
+    if cache is None:
+        print("No detection cache: box slots will be empty (masked out)")
+
+    def pipeline_for(path):
+        return MultiModalPipeline(
+            load_corpus(path),
+            tokenizer,
+            cache,
+            batch_size=cfg.batch_size,
+            max_patches=cfg.teacher.max_patches,
+            image_size=clip_cfg.vision.image_size,
+            teacher_image_size=args.teacher_image_size,
+            max_text_tokens=clip_cfg.text.max_length,
+            seed=cfg.seed,
+        )
+
+    train_pipe = pipeline_for(cfg.train_file)
+    val_pipe = pipeline_for(cfg.val_file) if os.path.exists(cfg.val_file) else None
+    print(f"Training set size: {len(train_pipe.items)} samples")
+    if val_pipe:
+        print(f"Validation set size: {len(val_pipe.items)} samples")
+
+    mesh = make_mesh(cfg.mesh)
+    trainer = TeacherTrainer(cfg, clip_vars, clip_cfg, mesh=mesh)
+    ckpts = CheckpointManager(
+        os.path.dirname(cfg.output_path) or ".",
+        prefix=os.path.basename(cfg.output_path),
+        save_top_k=0,  # teacher keeps every epoch (reference :393-402)
+    )
+    start_epoch = trainer.resume(ckpts) if args.resume else 0
+    logger = MetricsLogger(args.metrics_csv, print_every=cfg.log_every)
+    trainer.fit(train_pipe, val_pipe, checkpoints=ckpts, logger=logger,
+                start_epoch=start_epoch)
+    best = ckpts.best()
+    if best:
+        print(f"Best model: {best['path']} (val_loss={best['metrics']['val_loss']:.4f})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

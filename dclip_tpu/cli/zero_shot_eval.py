@@ -1,0 +1,116 @@
+"""Zero-shot eval CLI — the reference's `test_zero_shot_ImageNet.py` +
+`CIFAR_zeroshot.py` (those configure via in-source constants, :19-23/:17-19;
+here the same knobs are flags). Output files keep the reference names and
+body formats.
+
+    python -m dclip_tpu.cli.zero_shot_eval --dataset cifar10 \
+        --data_dir /data/cifar --model both --checkpoint ...msgpack \
+        [--results_file cifar_zero_shot_results.txt] [model flags]
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from dclip_tpu.cli.common import add_model_args, load_clip, load_tokenizer, restore_student_params
+from dclip_tpu.eval.zero_shot import (
+    CIFAR_PROMPT,
+    IMAGENET_PROMPT,
+    embed_classnames,
+    evaluate_zero_shot,
+    format_cifar_results,
+    format_imagenet_results,
+    iterate_image_folder,
+    iterate_preprocessed,
+    load_cifar_batches,
+    print_comparison_table,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Zero-shot classification evaluation")
+    p.add_argument("--dataset", choices=["cifar10", "cifar100", "imagenet"],
+                   default="cifar10")
+    p.add_argument("--data_dir", required=True,
+                   help="CIFAR pickle-batches root or ImageFolder directory")
+    p.add_argument("--model", choices=["base", "custom", "both"], default="both")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("--results_file", default=None,
+                   help="defaults to the reference filename for the dataset")
+    add_model_args(p, default_preset="vit-l-14")
+    return p
+
+
+def _batches(args, image_size):
+    if args.dataset in ("cifar10", "cifar100"):
+        images, labels, classnames = load_cifar_batches(args.data_dir, args.dataset)
+        if args.max_images:
+            images, labels = images[: args.max_images], labels[: args.max_images]
+        return classnames, lambda: iterate_preprocessed(
+            images, labels, args.batch_size, image_size
+        )
+    classnames, _ = iterate_image_folder(args.data_dir, args.batch_size, image_size)
+
+    def gen():
+        _, it = iterate_image_folder(args.data_dir, args.batch_size, image_size)
+        count = 0
+        for pixels, labels in it:
+            if args.max_images and count >= args.max_images:
+                return
+            count += len(labels)
+            yield pixels, labels
+
+    return classnames, gen
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg, model, variables = load_clip(args.model_preset, args.clip_weights, args.seed)
+    tokenizer = load_tokenizer(args.tokenizer_dir, cfg.text.max_length)
+    classnames, batches = _batches(args, cfg.vision.image_size)
+    prompt = CIFAR_PROMPT if args.dataset.startswith("cifar") else IMAGENET_PROMPT
+
+    def run(vars_):
+        text = embed_classnames(model, vars_, tokenizer, classnames, prompt)
+        return evaluate_zero_shot(model, vars_, text, batches())
+
+    results = {}
+    if args.model in ("base", "both"):
+        print("\n==== Base CLIP Model ====")
+        results["base"] = run(variables)
+    if args.model in ("custom", "both"):
+        if not args.checkpoint:
+            raise SystemExit("--checkpoint is required for --model custom/both")
+        print("\n==== Custom Model ====")
+        params = restore_student_params(args.checkpoint, variables["params"])
+        results["custom"] = run({"params": params})
+
+    print_comparison_table({args.dataset: results})
+
+    zero = {"top1": 0.0, "top5": 0.0}
+    if args.dataset.startswith("cifar"):
+        out = args.results_file or "cifar_zero_shot_results.txt"
+        base = results.get("base", zero)
+        custom = results.get("custom", zero)
+        # The reference file always reports both CIFAR sections; we fill the
+        # evaluated dataset and zero the other (single-dataset invocation).
+        if args.dataset == "cifar10":
+            body = format_cifar_results(base, custom, zero, zero)
+        else:
+            body = format_cifar_results(zero, zero, base, custom)
+    else:
+        out = args.results_file or "imagenet_zero_shot_results.txt"
+        body = format_imagenet_results(
+            results.get("custom", zero), results.get("base")
+        )
+    with open(out, "w") as f:
+        f.write(body)
+    print(f"Results written to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,134 @@
+"""Karpathy retrieval evaluation (flickr30k_eval / COCO protocol).
+
+Reference parity (eval_scripts/flickr30k_eval.py):
+- eval JSON of `{"image_path", "image_id", "captions"}` records, empty
+  captions filtered, truncated to `max_images` (:95-104, default 1000),
+- all image + caption embeddings, L2-normalized, cosine similarity matrix
+  (:243-266 — the chunked 1000x1000 matmul is just one XLA matmul here),
+- t2i/i2t R@1/5/10 + MAP with argsort-stable rank semantics
+  (dclip_tpu.ops.retrieval, pinned to :16-88 in tests),
+- base-vs-custom comparison table with relative R@1 gains (:314-333).
+
+The reference embeds images in torch batches of 4 and custom-model images
+ONE AT A TIME (:157,187-189); here both sides run as large jitted batches.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dclip_tpu.data.corpus import load_corpus
+from dclip_tpu.models.clip import CLIPModule
+from dclip_tpu.ops.retrieval import retrieval_metrics
+
+
+def load_eval_items(dataset_json: str, max_images: int = 1000) -> List[dict]:
+    items = load_corpus(dataset_json)  # drops empty-caption rows (:97-100)
+    return items[:max_images]
+
+
+def embed_images(
+    model: CLIPModule,
+    variables,
+    image_paths: Sequence[str],
+    batch_size: int = 256,
+    image_size: int = 224,
+) -> np.ndarray:
+    """Decode+preprocess on host, embed in jitted batches. Pads the tail
+    batch to keep one compiled shape."""
+    from PIL import Image
+
+    from dclip_tpu.data.pipeline import preprocess_image
+
+    fwd = jax.jit(lambda v, p: model.apply(v, p, method=model.get_image_features))
+    out = []
+    for start in range(0, len(image_paths), batch_size):
+        chunk = image_paths[start : start + batch_size]
+        pixels = []
+        for path in chunk:
+            try:
+                with Image.open(path) as im:
+                    pixels.append(preprocess_image(im.convert("RGB"), image_size))
+            except Exception:
+                pixels.append(np.zeros((image_size, image_size, 3), np.float32))
+        arr = np.stack(pixels)
+        n = arr.shape[0]
+        if n < batch_size:
+            arr = np.concatenate(
+                [arr, np.zeros((batch_size - n,) + arr.shape[1:], arr.dtype)]
+            )
+        out.append(np.asarray(fwd(variables, jnp.asarray(arr)))[:n])
+    return np.concatenate(out, 0)
+
+
+def embed_captions(
+    model: CLIPModule,
+    variables,
+    tokenizer,
+    captions: Sequence[str],
+    batch_size: int = 256,
+) -> np.ndarray:
+    fwd = jax.jit(
+        lambda v, i, m: model.apply(v, i, m, method=model.get_text_features)
+    )
+    out = []
+    for start in range(0, len(captions), batch_size):
+        chunk = list(captions[start : start + batch_size])
+        n = len(chunk)
+        if n < batch_size:
+            chunk += [""] * (batch_size - n)
+        ids, mask = tokenizer.encode_batch(chunk)
+        out.append(np.asarray(fwd(variables, jnp.asarray(ids), jnp.asarray(mask)))[:n])
+    return np.concatenate(out, 0)
+
+
+def evaluate_retrieval(
+    model: CLIPModule,
+    variables,
+    tokenizer,
+    items: Sequence[dict],
+    batch_size: int = 256,
+    image_size: int = 224,
+) -> Dict[str, Dict[str, float]]:
+    """Full protocol on one model -> {"t2i": {...}, "i2t": {...}}."""
+    image_paths = [it["image_path"] for it in items]
+    captions: List[str] = []
+    caption_to_image: List[int] = []
+    for idx, it in enumerate(items):
+        for cap in it["captions"]:
+            captions.append(cap)
+            caption_to_image.append(idx)
+    img = embed_images(model, variables, image_paths, batch_size, image_size)
+    cap = embed_captions(model, variables, tokenizer, captions, batch_size)
+    metrics = retrieval_metrics(
+        jnp.asarray(cap), jnp.asarray(img), jnp.asarray(caption_to_image)
+    )
+    return {
+        d: {k: float(v) for k, v in dd.items()} for d, dd in metrics.items()
+    }
+
+
+def print_retrieval_table(
+    results: Dict[str, Dict[str, Dict[str, float]]]
+) -> None:
+    """Base-vs-custom comparison with relative R@1 gains (reference :314-333)."""
+    for direction, label in (("t2i", "Text -> Image"), ("i2t", "Image -> Text")):
+        print(f"\n{label} Retrieval")
+        print("=" * 60)
+        print(f"{'Model':<12} {'R@1':<10} {'R@5':<10} {'R@10':<10} {'MAP':<10}")
+        print("-" * 60)
+        for model_name, res in results.items():
+            m = res[direction]
+            print(
+                f"{model_name:<12} {m['R@1']:<10.4f} {m['R@5']:<10.4f} "
+                f"{m['R@10']:<10.4f} {m['MAP']:<10.4f}"
+            )
+        if "base" in results and "custom" in results:
+            b, c = results["base"][direction], results["custom"][direction]
+            if b["R@1"] > 0:
+                print(
+                    f"Relative R@1 gain: {(c['R@1'] - b['R@1']) / b['R@1'] * 100:+.2f}%"
+                )
