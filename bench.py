@@ -62,6 +62,7 @@ def main() -> None:
         teacher=teacher_cfg,
         student_model="vit-b-16" if on_tpu else "tiny",
         teacher_clip_model="vit-b-16" if on_tpu else "tiny",
+        compute_dtype="bfloat16" if on_tpu else "float32",
     )
     trainer = DistillTrainer(
         cfg, variables, variables, tparams, clip_cfg, clip_cfg, mesh=mesh

@@ -195,6 +195,9 @@ class TeacherTrainConfig:
     teacher: TeacherConfig = field(default_factory=TeacherConfig)
     clip_model: str = "vit-b-16"
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    # Activation dtype for encoder forwards (params stay float32; losses
+    # compute in float32). "bfloat16" is the MXU-native fast path.
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -250,6 +253,9 @@ class DistillConfig:
     full_resolution_at_epoch: Optional[int] = None  # phase1_epochs // 2 intended
     mesh: MeshConfig = field(default_factory=MeshConfig)
     log_every: int = 10
+    # Activation dtype for encoder forwards (params stay float32; losses
+    # compute in float32). "bfloat16" is the MXU-native fast path.
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

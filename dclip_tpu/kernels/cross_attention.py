@@ -1,0 +1,186 @@
+"""Fused bidirectional cross-attention Pallas kernel.
+
+The meta-teacher's core block (reference CrossModalAttention,
+training/patch_text_aggregation.py:13-46; Flax twin in
+dclip_tpu.models.cross_modal) as ONE TPU kernel per batch tile:
+
+    attended_text  = LN(text  + MHA(q=text,  kv=image))
+    attended_image = LN(image + MHA(q=image, kv=text))
+
+Sequences are tiny (<=77 text tokens x <=32 patches, SURVEY.md §5), so both
+directions — 8 projections, 2 softmax attentions, residuals, LayerNorms —
+fit one VMEM-resident fusion with zero HBM round-trips between ops. The
+grid runs over the batch; every program loads the shared weights (VMEM-
+replicated via constant index maps) and one batch row of activations.
+
+Used on the no-grad teacher path (distillation targets run under
+stop_gradient) and in eval; the Flax module remains the differentiable
+reference implementation, and the kernel is parity-tested against it
+(tests/test_kernels.py, interpret mode on CPU).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _mha(q_in, kv_in, wq, bq, wk, bk, wv, bv, wo, bo, kv_mask, num_heads):
+    """One attention direction on [S_q, D] x [S_k, D] blocks (f32)."""
+    d = q_in.shape[-1]
+    head_dim = d // num_heads
+    q = jnp.dot(q_in, wq, preferred_element_type=jnp.float32) + bq
+    k = jnp.dot(kv_in, wk, preferred_element_type=jnp.float32) + bk
+    v = jnp.dot(kv_in, wv, preferred_element_type=jnp.float32) + bv
+    sq, sk = q.shape[0], k.shape[0]
+    q = q.reshape(sq, num_heads, head_dim).transpose(1, 0, 2)  # [H, Sq, hd]
+    k = k.reshape(sk, num_heads, head_dim).transpose(1, 0, 2)
+    v = v.reshape(sk, num_heads, head_dim).transpose(1, 0, 2)
+    logits = jax.lax.dot_general(
+        q * (head_dim**-0.5),
+        k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [H, Sq, Sk]
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[None, None, :] > 0, logits, _NEG)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jax.lax.dot_general(
+        probs,
+        v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [H, Sq, hd]
+    out = out.transpose(1, 0, 2).reshape(sq, d)
+    return jnp.dot(out, wo, preferred_element_type=jnp.float32) + bo
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _kernel(
+    num_heads: int,
+    use_masks: bool,
+    # refs (order matters; masks only present when use_masks):
+    *refs,
+):
+    if use_masks:
+        (text_ref, image_ref, tmask_ref, imask_ref, *w_refs) = refs[:-2]
+    else:
+        (text_ref, image_ref, *w_refs) = refs[:-2]
+        tmask_ref = imask_ref = None
+    out_text_ref, out_image_ref = refs[-2], refs[-1]
+    (
+        wq_t, bq_t, wk_t, bk_t, wv_t, bv_t, wo_t, bo_t,
+        wq_i, bq_i, wk_i, bk_i, wv_i, bv_i, wo_i, bo_i,
+        lnt_s, lnt_b, lni_s, lni_b,
+    ) = (r[:] for r in w_refs)
+
+    txt = text_ref[0].astype(jnp.float32)  # [T, D]
+    img = image_ref[0].astype(jnp.float32)  # [P, D]
+    tmask = tmask_ref[0] if tmask_ref is not None else None
+    imask = imask_ref[0] if imask_ref is not None else None
+
+    t2i = _mha(txt, img, wq_t, bq_t, wk_t, bk_t, wv_t, bv_t, wo_t, bo_t,
+               imask, num_heads)
+    out_text_ref[0] = _layer_norm(txt + t2i, lnt_s, lnt_b).astype(
+        out_text_ref.dtype
+    )
+    i2t = _mha(img, txt, wq_i, bq_i, wk_i, bk_i, wv_i, bv_i, wo_i, bo_i,
+               tmask, num_heads)
+    out_image_ref[0] = _layer_norm(img + i2t, lni_s, lni_b).astype(
+        out_image_ref.dtype
+    )
+
+
+def _flatten_params(params: Dict[str, Any]):
+    def mha_mats(p):
+        return [
+            p["q_proj"]["kernel"], p["q_proj"]["bias"],
+            p["k_proj"]["kernel"], p["k_proj"]["bias"],
+            p["v_proj"]["kernel"], p["v_proj"]["bias"],
+            p["out_proj"]["kernel"], p["out_proj"]["bias"],
+        ]
+
+    return (
+        mha_mats(params["text_to_image"])
+        + mha_mats(params["image_to_text"])
+        + [
+            params["norm_text"]["scale"], params["norm_text"]["bias"],
+            params["norm_image"]["scale"], params["norm_image"]["bias"],
+        ]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def cross_attention_fused(
+    params: Dict[str, Any],
+    text: jnp.ndarray,  # [B, T, D]
+    image: jnp.ndarray,  # [B, P, D]
+    text_mask: Optional[jnp.ndarray] = None,  # [B, T]
+    image_mask: Optional[jnp.ndarray] = None,  # [B, P]
+    num_heads: int = 8,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused forward. params = CrossModalAttention flax param dict."""
+    b, t, d = text.shape
+    p = image.shape[1]
+    use_masks = text_mask is not None
+    if use_masks and image_mask is None:
+        raise ValueError("pass both masks or neither")
+    weights = _flatten_params(params)
+
+    row = lambda i: (i, 0, 0)  # noqa: E731
+    mask_row = lambda i: (i, 0)  # noqa: E731
+    rep2 = lambda i: (0, 0)  # noqa: E731
+    rep1 = lambda i: (0,)  # noqa: E731
+
+    in_specs = [
+        pl.BlockSpec((1, t, d), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p, d), row, memory_space=pltpu.VMEM),
+    ]
+    inputs = [text, image]
+    if use_masks:
+        in_specs += [
+            pl.BlockSpec((1, t), mask_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p), mask_row, memory_space=pltpu.VMEM),
+        ]
+        inputs += [text_mask.astype(jnp.float32), image_mask.astype(jnp.float32)]
+    for w in weights:
+        spec = rep2 if w.ndim == 2 else rep1
+        in_specs.append(
+            pl.BlockSpec(w.shape, spec, memory_space=pltpu.VMEM)
+        )
+        inputs.append(w.astype(jnp.float32))
+
+    out_shape = (
+        jax.ShapeDtypeStruct((b, t, d), text.dtype),
+        jax.ShapeDtypeStruct((b, p, d), image.dtype),
+    )
+    out_specs = (
+        pl.BlockSpec((1, t, d), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, p, d), row, memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_kernel, num_heads, use_masks)
+    flops_mha = 2 * d * d * (t + p) * 4 + 2 * t * p * d * 2
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * flops_mha, bytes_accessed=4 * b * (t + p) * d * 2,
+            transcendentals=b * (t * p) * 2,
+        ),
+    )(*inputs)

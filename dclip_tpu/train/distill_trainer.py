@@ -78,9 +78,10 @@ class DistillTrainer:
                 f"teacher CLIP projection_dim {self.teacher_clip_config.projection_dim}"
                 f" != teacher embed_dim {cfg.teacher.embed_dim}"
             )
-        self.student = CLIPModule(self.student_config)
-        self.teacher_clip = CLIPModule(self.teacher_clip_config)
-        self.teacher = PatchTextAggregation(cfg.teacher)
+        dtype = jnp.dtype(cfg.compute_dtype)
+        self.student = CLIPModule(self.student_config, dtype=dtype)
+        self.teacher_clip = CLIPModule(self.teacher_clip_config, dtype=dtype)
+        self.teacher = PatchTextAggregation(cfg.teacher, dtype=dtype)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
 
         self._unfrozen_extra: tuple = ()

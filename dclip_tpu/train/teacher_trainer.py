@@ -62,8 +62,9 @@ class TeacherTrainer:
     ):
         self.cfg = cfg
         self.clip_config = clip_config or CLIPConfig.from_name(cfg.clip_model)
-        self.clip = CLIPModule(self.clip_config)
-        self.teacher = PatchTextAggregation(cfg.teacher)
+        dtype = jnp.dtype(cfg.compute_dtype)
+        self.clip = CLIPModule(self.clip_config, dtype=dtype)
+        self.teacher = PatchTextAggregation(cfg.teacher, dtype=dtype)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
 
         if teacher_params is None:

@@ -1,0 +1,105 @@
+"""Pallas kernels vs their XLA reference twins (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dclip_tpu.kernels import cross_attention_fused, fused_distillation_loss
+from dclip_tpu.kernels.distill_loss import make_fused_distillation_loss
+from dclip_tpu.models.cross_modal import CrossModalAttention
+from dclip_tpu.ops.losses import distillation_loss
+
+D, H, T, P = 64, 4, 8, 4
+
+
+@pytest.fixture(scope="module")
+def cm_setup():
+    model = CrossModalAttention(embed_dim=D, num_heads=H)
+    rng = np.random.RandomState(0)
+    text = rng.randn(3, T, D).astype(np.float32)
+    image = rng.randn(3, P, D).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(text), jnp.asarray(image))
+    return model, variables, text, image
+
+
+def test_cross_attention_kernel_parity(cm_setup):
+    model, variables, text, image = cm_setup
+    want_t, want_i = model.apply(variables, jnp.asarray(text), jnp.asarray(image))
+    got_t, got_i = cross_attention_fused(
+        variables["params"], jnp.asarray(text), jnp.asarray(image),
+        num_heads=H, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i), atol=1e-4)
+
+
+def test_cross_attention_kernel_masked_parity(cm_setup):
+    model, variables, text, image = cm_setup
+    rng = np.random.RandomState(1)
+    tmask = (rng.rand(3, T) > 0.3).astype(np.float32)
+    tmask[:, 0] = 1
+    imask = (rng.rand(3, P) > 0.3).astype(np.float32)
+    imask[:, 0] = 1
+    want_t, want_i = model.apply(
+        variables, jnp.asarray(text), jnp.asarray(image),
+        text_mask=jnp.asarray(tmask), image_mask=jnp.asarray(imask),
+    )
+    got_t, got_i = cross_attention_fused(
+        variables["params"], jnp.asarray(text), jnp.asarray(image),
+        jnp.asarray(tmask), jnp.asarray(imask), num_heads=H, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i), atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def loss_inputs():
+    rng = np.random.RandomState(2)
+    return tuple(
+        jnp.asarray(rng.randn(16, 32).astype(np.float32)) for _ in range(4)
+    )
+
+
+def test_fused_loss_forward_parity(loss_inputs):
+    si, st, ti, tt = loss_inputs
+    want_total, want_parts = distillation_loss(si, st, ti, tt, 0.05, 0.7)
+    got_total, got_parts = fused_distillation_loss(
+        si, st, ti, tt, 0.05, 0.7, interpret=True
+    )
+    assert np.isclose(float(got_total), float(want_total), atol=1e-5)
+    for k in want_parts:
+        assert np.isclose(float(got_parts[k]), float(want_parts[k]), atol=1e-5), k
+
+
+def test_fused_loss_gradient_parity(loss_inputs):
+    si, st, ti, tt = loss_inputs
+    fn = make_fused_distillation_loss(0.05, 1.0, interpret=True)
+
+    g_got = jax.grad(lambda a, b: fn(a, b, ti, tt)["loss"], argnums=(0, 1))(si, st)
+    g_want = jax.grad(
+        lambda a, b: distillation_loss(a, b, ti, tt)[0], argnums=(0, 1)
+    )(si, st)
+    np.testing.assert_allclose(np.asarray(g_got[0]), np.asarray(g_want[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_got[1]), np.asarray(g_want[1]), atol=1e-5)
+
+
+def test_fused_loss_part_gradients(loss_inputs):
+    """Gradients taken through an individual part match the XLA part grad."""
+    si, st, ti, tt = loss_inputs
+    fn = make_fused_distillation_loss(0.05, 1.0, interpret=True)
+    from dclip_tpu.ops.losses import cosine_distillation
+
+    g_got = jax.grad(lambda a: fn(a, st, ti, tt)["image_distill_loss"])(si)
+    g_want = jax.grad(lambda a: cosine_distillation(a, ti))(si)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=1e-6)
+
+
+def test_fused_loss_large_batch_fallback():
+    rng = np.random.RandomState(3)
+    args = tuple(
+        jnp.asarray(rng.randn(1100, 8).astype(np.float32)) for _ in range(4)
+    )
+    total, parts = fused_distillation_loss(*args)  # silently uses XLA path
+    want, _ = distillation_loss(*args)
+    assert np.isclose(float(total), float(want), atol=1e-5)
