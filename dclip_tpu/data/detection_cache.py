@@ -80,7 +80,21 @@ class DetectionCache:
     # -- persistence ---------------------------------------------------------
 
     def save(self, path: str) -> None:
-        """Atomic write: packed arrays + offsets + key list."""
+        """Atomic write. `.dcs` paths use the native mmap KV store
+        (dclip_tpu.native — the dbm replacement, O(1) reopen for huge
+        caches); anything else writes one packed npz."""
+        if path.endswith(".dcs"):
+            from dclip_tpu import native
+
+            os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+            with native.NativeKVStore(path, writable=True) as s:
+                for k, (boxes, conf) in self._entries.items():
+                    s.put_array(k, np.concatenate([boxes, conf[:, None]], 1))
+            return
+        self._save_npz(path)
+
+    def _save_npz(self, path: str) -> None:
+        """Packed arrays + offsets + key list, tmp+rename."""
         keys = sorted(self._entries)
         counts = np.asarray([self._entries[k][0].shape[0] for k in keys], np.int64)
         boxes = (
@@ -112,6 +126,18 @@ class DetectionCache:
 
     @classmethod
     def load(cls, path: str) -> "DetectionCache":
+        if path.endswith(".dcs"):
+            from dclip_tpu import native
+
+            entries = {}
+            store = native.NativeKVStore(path)
+            try:
+                for k in store.keys():
+                    packed = store.get_array(k)
+                    entries[k] = (packed[:, :4].copy(), packed[:, 4].copy())
+            finally:
+                store.close()
+            return cls(entries)
         with np.load(path, allow_pickle=False) as z:
             keys = json.loads(str(z["keys"]))
             counts = z["counts"]

@@ -127,6 +127,17 @@ class EmbeddingStore:
 
     def save(self, path: str) -> None:
         keys, values, positions = self._pack()
+        if path.endswith(".dcs"):
+            from dclip_tpu import native
+
+            os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+            with native.NativeKVStore(path, writable=True) as s:
+                s.put("dim", str(self.dim).encode())
+                s.put("ids", json.dumps(self._ids).encode())
+                s.put_array("keys", keys)
+                s.put_array("values", values)
+                s.put_array("positions", positions)
+            return
         os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)) or ".")
         try:
@@ -147,6 +158,23 @@ class EmbeddingStore:
 
     @classmethod
     def load(cls, path: str) -> "EmbeddingStore":
+        if path.endswith(".dcs"):
+            from dclip_tpu import native
+
+            s = native.NativeKVStore(path)
+            try:
+                store = cls(dim=int(s.get("dim").decode()))
+                ids = json.loads(s.get("ids").decode())
+                keys = s.get_array("keys")
+                values = s.get_array("values")
+                positions = s.get_array("positions")
+            finally:
+                s.close()
+            store._keys = [k for k in keys]
+            store._values = [v for v in values]
+            store._positions = [p for p in positions]
+            store._ids = ids
+            return store
         with np.load(path, allow_pickle=False) as z:
             store = cls(dim=int(z["dim"]))
             ids = json.loads(str(z["ids"]))
