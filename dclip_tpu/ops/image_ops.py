@@ -72,6 +72,26 @@ def batch_crop_resize_normalize(
     return normalize(patches)
 
 
+def black_out_boxes(
+    images: jnp.ndarray, boxes: jnp.ndarray
+) -> jnp.ndarray:
+    """Zero the box region of each image: the "context" view.
+
+    images [B, H, W, C], boxes [B, P, 4] xyxy -> [B, P, H, W, C] where
+    view (b, p) is image b with box p blacked out (reference
+    `encode_bounding_boxes_with_context`, image_tokenizer.py:126-164:
+    context = image with the cropped region removed).
+    """
+    b, h, w, c = images.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[None, None, :]  # [1, 1, H]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    x1, y1, x2, y2 = (boxes[..., i][..., None] for i in range(4))  # [B, P, 1]
+    in_y = (ys >= y1) & (ys < y2)  # [B, P, H]
+    in_x = (xs >= x1) & (xs < x2)  # [B, P, W]
+    inside = in_y[:, :, :, None] & in_x[:, :, None, :]  # [B, P, H, W]
+    return jnp.where(inside[..., None], 0.0, images[:, None])
+
+
 def resize_center_crop(image: jnp.ndarray, size: int = 224) -> jnp.ndarray:
     """CLIPProcessor-style eval preprocessing on device: resize shortest
     side to `size` (bilinear) then center-crop `size`x`size`.

@@ -53,7 +53,7 @@ def knn_search(
         store_keys.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
-    return jax.lax.top_k(scores, k)
+    return jax.lax.top_k(scores, min(k, store_keys.shape[0]))
 
 
 def knn_search_sharded(
