@@ -256,6 +256,9 @@ class DistillConfig:
     # Activation dtype for encoder forwards (params stay float32; losses
     # compute in float32). "bfloat16" is the MXU-native fast path.
     compute_dtype: str = "float32"
+    # jax.checkpoint each encoder layer: trades FLOPs for HBM, enabling
+    # larger per-chip batches for ViT-L/14 students.
+    remat: bool = False
 
 
 @dataclass(frozen=True)

@@ -79,7 +79,7 @@ class DistillTrainer:
                 f" != teacher embed_dim {cfg.teacher.embed_dim}"
             )
         dtype = jnp.dtype(cfg.compute_dtype)
-        self.student = CLIPModule(self.student_config, dtype=dtype)
+        self.student = CLIPModule(self.student_config, dtype=dtype, remat=cfg.remat)
         self.teacher_clip = CLIPModule(self.teacher_clip_config, dtype=dtype)
         self.teacher = PatchTextAggregation(cfg.teacher, dtype=dtype)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
@@ -111,10 +111,31 @@ class DistillTrainer:
         )
 
     def _put_replicated(self):
-        self.state = replicate_tree(self.state, self.mesh)
-        self.teacher_clip_variables = replicate_tree(
-            self.teacher_clip_variables, self.mesh
-        )
+        model_axis = self.cfg.mesh.model_axis
+        if self.mesh.shape.get(model_axis, 1) > 1:
+            # Tensor parallelism: encoder weights sharded over the model
+            # axis (dclip_tpu.parallel.tp); everything else replicated.
+            from dclip_tpu.parallel.tp import head_divisibility_check, shard_clip_params
+
+            head_divisibility_check(
+                self.student_config.vision.num_heads, self.mesh, model_axis
+            )
+            params = shard_clip_params(
+                jax.device_get(self.state.params), self.mesh, model_axis
+            )
+            self.state = TrainState.create(params, self.tx)
+            self.teacher_clip_variables = {
+                "params": shard_clip_params(
+                    jax.device_get(self.teacher_clip_variables)["params"],
+                    self.mesh,
+                    model_axis,
+                )
+            }
+        else:
+            self.state = replicate_tree(self.state, self.mesh)
+            self.teacher_clip_variables = replicate_tree(
+                self.teacher_clip_variables, self.mesh
+            )
         self.teacher_params = replicate_tree(self.teacher_params, self.mesh)
 
     # -- teacher forward (frozen) ------------------------------------------------

@@ -92,7 +92,19 @@ class TeacherTrainer:
 
     def _put_replicated(self):
         self.state = replicate_tree(self.state, self.mesh)
-        self.clip_variables = replicate_tree(self.clip_variables, self.mesh)
+        model_axis = self.cfg.mesh.model_axis
+        if self.mesh.shape.get(model_axis, 1) > 1:
+            from dclip_tpu.parallel.tp import shard_clip_params
+
+            self.clip_variables = {
+                "params": shard_clip_params(
+                    jax.device_get(self.clip_variables)["params"],
+                    self.mesh,
+                    model_axis,
+                )
+            }
+        else:
+            self.clip_variables = replicate_tree(self.clip_variables, self.mesh)
 
     # -- loss ------------------------------------------------------------------
 

@@ -1,0 +1,99 @@
+"""Tensor parallelism: TP-sharded CLIP forward == single-device forward."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dclip_tpu.core.config import CLIPConfig, MeshConfig
+from dclip_tpu.models.clip import CLIPModule
+from dclip_tpu.parallel.mesh import make_mesh
+from dclip_tpu.parallel.tp import (
+    clip_param_specs,
+    head_divisibility_check,
+    shard_clip_params,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(cpu_devices):
+    cfg = CLIPConfig.tiny_test()
+    model = CLIPModule(cfg)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 900, size=(8, cfg.text.max_length)).astype(np.int32)
+    ids[:, 7] = cfg.text.eos_token_id
+    pixels = rng.randn(8, cfg.vision.image_size, cfg.vision.image_size, 3).astype(
+        np.float32
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(ids), jnp.asarray(pixels)
+    )
+    return cfg, model, variables, ids, pixels
+
+
+def test_param_specs_rules(setup, cpu_devices):
+    cfg, model, variables, *_ = setup
+    specs = clip_param_specs(variables["params"])
+    lay = specs["vision_model"]["encoder"]["layers_0"]
+    assert lay["self_attn"]["q_proj"]["kernel"] == P(None, "model")
+    assert lay["self_attn"]["out_proj"]["kernel"] == P("model", None)
+    assert lay["self_attn"]["out_proj"]["bias"] == P()
+    assert lay["mlp"]["fc1"]["kernel"] == P(None, "model")
+    assert lay["mlp"]["fc1"]["bias"] == P("model")
+    assert lay["mlp"]["fc2"]["kernel"] == P("model", None)
+    assert specs["text_model"]["token_embedding"]["embedding"] == P()
+    assert specs["visual_projection"]["kernel"] == P()
+
+
+def test_tp_forward_matches_single_device(setup, cpu_devices):
+    cfg, model, variables, ids, pixels = setup
+    want_img = model.apply(
+        variables, jnp.asarray(pixels), method=model.get_image_features
+    )
+    want_txt = model.apply(
+        variables, jnp.asarray(ids), method=model.get_text_features
+    )
+
+    mesh = make_mesh(MeshConfig(data_parallel=2, model_parallel=4),
+                     devices=cpu_devices)
+    head_divisibility_check(cfg.vision.num_heads, mesh)
+    with mesh:
+        params = shard_clip_params(variables["params"], mesh)
+        data_sh = NamedSharding(mesh, P("data"))
+        img = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, method=model.get_image_features)
+        )(params, jax.device_put(jnp.asarray(pixels), data_sh))
+        txt = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, method=model.get_text_features)
+        )(params, jax.device_put(jnp.asarray(ids), data_sh))
+    np.testing.assert_allclose(np.asarray(img), np.asarray(want_img), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(txt), np.asarray(want_txt), atol=2e-5)
+
+
+def test_tp_gradients_match_single_device(setup, cpu_devices):
+    cfg, model, variables, ids, pixels = setup
+
+    def loss(p, x):
+        feats = model.apply({"params": p}, x, method=model.get_image_features)
+        return jnp.sum(feats**2)
+
+    g_ref = jax.grad(loss)(variables["params"], jnp.asarray(pixels))
+    mesh = make_mesh(MeshConfig(data_parallel=2, model_parallel=4),
+                     devices=cpu_devices)
+    with mesh:
+        params = shard_clip_params(variables["params"], mesh)
+        x = jax.device_put(jnp.asarray(pixels), NamedSharding(mesh, P("data")))
+        g_tp = jax.jit(jax.grad(loss))(params, x)
+    leaf_ref = g_ref["vision_model"]["encoder"]["layers_0"]["mlp"]["fc1"]["kernel"]
+    leaf_tp = g_tp["vision_model"]["encoder"]["layers_0"]["mlp"]["fc1"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(leaf_tp), np.asarray(leaf_ref), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_head_divisibility_guard(cpu_devices):
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=8),
+                     devices=cpu_devices)
+    with pytest.raises(ValueError, match="not divisible"):
+        head_divisibility_check(12, mesh)
