@@ -67,13 +67,13 @@ def main() -> None:
     trainer = DistillTrainer(
         cfg, variables, variables, tparams, clip_cfg, clip_cfg, mesh=mesh
     )
+    # device_put once: the tunneled H2D link is slow and a real input
+    # pipeline overlaps transfers; bench measures compute throughput.
     data = trainer._device_batch(_synthetic_batch(clip_cfg, teacher_cfg, batch))
 
     # Warmup (compile) + 2 steps, fully synced.
     for _ in range(3):
-        trainer.state, metrics = trainer._train_step(
-            trainer.state, trainer.teacher_clip_variables, trainer.teacher_params, data
-        )
+        metrics = trainer.train_step_on_batch(data)
         float(metrics["loss"])
 
     # Per-step host sync: the tunneled backend reports bogus times when
@@ -81,9 +81,7 @@ def main() -> None:
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        trainer.state, metrics = trainer._train_step(
-            trainer.state, trainer.teacher_clip_variables, trainer.teacher_params, data
-        )
+        metrics = trainer.train_step_on_batch(data)
         float(metrics["loss"])
     dt = time.perf_counter() - t0
 

@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--student_weights", default=None,
                    help="student weights source (default: same as --clip_weights)")
     p.add_argument("--detection_cache", default=None)
+    p.add_argument("--teacher_cache", default=None,
+                   help="path for the cross-epoch teacher-target cache "
+                        "(native KV store); 'memory' for in-process only")
     p.add_argument("--max_patches", type=int, default=8)
     p.add_argument("--teacher_image_size", type=int, default=224)
     p.add_argument("--resume", action="store_true")
@@ -155,9 +158,16 @@ def main(argv=None) -> int:
     )
 
     mesh = make_mesh(cfg.mesh)
+    teacher_cache = None
+    if args.teacher_cache:
+        from dclip_tpu.train.distill_trainer import TeacherTargetCache
+
+        teacher_cache = TeacherTargetCache(
+            None if args.teacher_cache == "memory" else args.teacher_cache
+        )
     trainer = DistillTrainer(
         cfg, student_vars, teacher_clip_vars, teacher_params,
-        student_cfg, teacher_clip_cfg, mesh=mesh,
+        student_cfg, teacher_clip_cfg, mesh=mesh, teacher_cache=teacher_cache,
     )
     ckpts = CheckpointManager(
         cfg.checkpoint_dir,

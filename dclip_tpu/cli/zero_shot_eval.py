@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--results_file", default=None,
                    help="defaults to the reference filename for the dataset")
+    p.add_argument("--classnames_file", default=None,
+                   help="one classname per line, ordered by class index "
+                        "(reference test_zero_shot_ImageNet.py:134 reads "
+                        "ImageNet names from a text file; folder names are "
+                        "the default)")
     add_model_args(p, default_preset="vit-l-14")
     return p
 
@@ -71,6 +76,9 @@ def main(argv=None) -> int:
     cfg, model, variables = load_clip(args.model_preset, args.clip_weights, args.seed)
     tokenizer = load_tokenizer(args.tokenizer_dir, cfg.text.max_length)
     classnames, batches = _batches(args, cfg.vision.image_size)
+    if args.classnames_file:
+        with open(args.classnames_file) as f:
+            classnames = [line.strip() for line in f if line.strip()]
     prompt = CIFAR_PROMPT if args.dataset.startswith("cifar") else IMAGENET_PROMPT
 
     def run(vars_):

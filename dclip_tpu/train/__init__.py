@@ -1,7 +1,7 @@
 """Training drivers: jitted, mesh-sharded teacher + distillation trainers,
 optimizer masking, checkpoint/resume."""
 from dclip_tpu.train.checkpoint import CheckpointManager, restore_state, save_state
-from dclip_tpu.train.distill_trainer import DistillTrainer
+from dclip_tpu.train.distill_trainer import DistillTrainer, TeacherTargetCache
 from dclip_tpu.train.optim import (
     TrainState,
     count_trainable,
@@ -19,6 +19,7 @@ __all__ = [
     "restore_state",
     "save_state",
     "DistillTrainer",
+    "TeacherTargetCache",
     "TrainState",
     "count_trainable",
     "linear_warmup_schedule",

@@ -50,6 +50,84 @@ from dclip_tpu.train.optim import (
 from dclip_tpu.train.teacher_trainer import masked_mean
 
 
+class TeacherTargetCache:
+    """Cross-epoch cache of frozen teacher targets.
+
+    The modern analogue of the reference's per-patch knn pickle/dbm cache
+    (train_pickle.py:61-176, CLIP_image_distillation.py:488-494): the
+    teacher is frozen, so its (global_embedding, text_embedding) targets
+    for a given (example, caption) pair never change — computing them is
+    ~60% of the distillation step, and epochs >= 1 can skip it entirely.
+
+    Keyed by md5(corpus index || caption token ids), so per-epoch random
+    caption sampling still caches correctly. Backed by the native mmap KV
+    store when a path is given (persists across runs, synced every
+    `sync_every` puts like the reference's 100-batch dbm sync), else an
+    in-process dict.
+    """
+
+    def __init__(self, path: Optional[str] = None, sync_every: int = 100):
+        self._mem: Dict[bytes, Any] = {}
+        self._store = None
+        self._puts = 0
+        self.sync_every = sync_every
+        if path is not None:
+            from dclip_tpu import native
+
+            if native.available():
+                self._store = native.NativeKVStore(path, writable=True)
+            else:
+                print("native store unavailable; teacher cache is in-memory only")
+
+    @staticmethod
+    def keys_for(batch: Dict[str, Any]) -> list:
+        import hashlib
+        import numpy as np
+
+        idx = np.asarray(batch["index"])
+        ids = np.asarray(batch["input_ids"])
+        return [
+            hashlib.md5(int(i).to_bytes(8, "little") + row.tobytes()).hexdigest()
+            for i, row in zip(idx, ids)
+        ]
+
+    def get_batch(self, keys: list):
+        """[B, 2, D] stacked (img, txt) targets, or None on any miss."""
+        import numpy as np
+
+        rows = []
+        for k in keys:
+            if k in self._mem:
+                rows.append(self._mem[k])
+            elif self._store is not None:
+                arr = self._store.get_array(k)
+                if arr is None:
+                    return None
+                self._mem[k] = arr
+                rows.append(arr)
+            else:
+                return None
+        return np.stack(rows)
+
+    def put_batch(self, keys: list, targets) -> None:
+        import numpy as np
+
+        targets = np.asarray(targets)
+        for k, row in zip(keys, targets):
+            self._mem[k] = row
+            if self._store is not None:
+                self._store.put_array(k, row)
+                self._puts += 1
+                if self._puts % self.sync_every == 0:
+                    self._store.sync()
+
+    def close(self) -> None:
+        if self._store is not None:
+            self._store.sync()
+            self._store.close()
+            self._store = None
+
+
 class DistillTrainer:
     def __init__(
         self,
@@ -60,6 +138,7 @@ class DistillTrainer:
         student_config: Optional[CLIPConfig] = None,
         teacher_clip_config: Optional[CLIPConfig] = None,
         mesh=None,
+        teacher_cache: Optional["TeacherTargetCache"] = None,
     ):
         self.cfg = cfg
         self.student_config = student_config or CLIPConfig.from_name(cfg.student_model)
@@ -90,12 +169,16 @@ class DistillTrainer:
         self.teacher_clip_variables = teacher_clip_variables
         self.teacher_params = teacher_params
         self._put_replicated()
-        # donate=False: student params may alias the teacher-CLIP variables
-        # (e.g. student initialized from the same pretrained weights), and
-        # donating aliased buffers is undefined.
-        self._train_step = make_train_step(self._loss, self.tx, donate=False)
+        # The training step is split in two jits: teacher targets (frozen,
+        # cacheable across epochs via `teacher_cache`) and the student
+        # update. donate=False on the student step because student params
+        # may alias the teacher-CLIP variables (e.g. student initialized
+        # from the same pretrained weights).
+        self._teacher_step = jax.jit(self._teacher_targets)
+        self._train_step = make_train_step(self._student_loss, self.tx, donate=False)
         self._eval_loss = jax.jit(self._loss)
         self._batch_sharding = batch_sharding(self.mesh, cfg.mesh.data_axis)
+        self.teacher_cache = teacher_cache
 
     def _build_optimizer(self, params) -> None:
         mask = student_trainable_mask(params, self._unfrozen_extra)
@@ -168,10 +251,7 @@ class DistillTrainer:
 
     # -- loss ------------------------------------------------------------------------
 
-    def _loss(self, params, teacher_clip_variables, teacher_params, batch):
-        teacher_img, teacher_txt = self._teacher_targets(
-            teacher_clip_variables, teacher_params, batch
-        )
+    def _student_loss(self, params, teacher_img, teacher_txt, batch):
         student_img = self.student.apply(
             {"params": params},
             batch["pixel_values"],
@@ -193,6 +273,14 @@ class DistillTrainer:
         )
         return total, parts
 
+    def _loss(self, params, teacher_clip_variables, teacher_params, batch):
+        """Fully fused loss (teacher + student in one trace) — the eval path
+        and the single-jit surface dryrun_multichip compiles."""
+        teacher_img, teacher_txt = self._teacher_targets(
+            teacher_clip_variables, teacher_params, batch
+        )
+        return self._student_loss(params, teacher_img, teacher_txt, batch)
+
     # -- loops ---------------------------------------------------------------------------
 
     def _device_batch(self, batch) -> Dict[str, jnp.ndarray]:
@@ -203,29 +291,60 @@ class DistillTrainer:
             if k != "index"
         }
 
+    def _get_teacher_targets(self, raw_batch, device_batch):
+        """Cached teacher targets when possible, else one teacher jit."""
+        keys = None
+        if self.teacher_cache is not None:
+            d = raw_batch.as_dict() if hasattr(raw_batch, "as_dict") else raw_batch
+            if "index" in d:
+                keys = TeacherTargetCache.keys_for(d)
+                cached = self.teacher_cache.get_batch(keys)
+                if cached is not None:
+                    t = jax.device_put(
+                        jnp.asarray(cached), self._batch_sharding
+                    )
+                    return t[:, 0], t[:, 1]
+        with trace_span("teacher_targets"):
+            teacher_img, teacher_txt = self._teacher_step(
+                self.teacher_clip_variables, self.teacher_params, device_batch
+            )
+        if keys is not None:
+            import numpy as np
+
+            self.teacher_cache.put_batch(
+                keys,
+                np.stack(
+                    [np.asarray(teacher_img), np.asarray(teacher_txt)], axis=1
+                ),
+            )
+        return teacher_img, teacher_txt
+
+    def train_step_on_batch(self, batch):
+        """One full training step (teacher targets + student update)."""
+        device_batch = self._device_batch(batch)
+        teacher_img, teacher_txt = self._get_teacher_targets(batch, device_batch)
+        with trace_span("distill_train_step"):
+            self.state, metrics = self._train_step(
+                self.state, teacher_img, teacher_txt, device_batch
+            )
+        return metrics
+
     def train_epoch(self, batches: Iterable, logger: Optional[MetricsLogger] = None) -> float:
-        total, n = 0.0, 0
+        # Loss accumulates ON DEVICE; host sync happens only at log points,
+        # so steps pipeline through JAX's async dispatch instead of stalling
+        # on a float() every iteration.
+        total, n = None, 0
         for batch in batches:
-            with trace_span("distill_train_step"):
-                self.state, metrics = self._train_step(
-                    self.state,
-                    self.teacher_clip_variables,
-                    self.teacher_params,
-                    self._device_batch(batch),
-                )
-            total += float(metrics["loss"])
+            metrics = self.train_step_on_batch(batch)
+            total = metrics["loss"] if total is None else total + metrics["loss"]
             n += 1
-            if logger:
+            if logger and n % logger.print_every == 0:
                 logger.log(
                     int(self.state.step),
-                    {
-                        "train_loss": float(metrics["loss"]),
-                        "image_distill_loss": float(metrics["image_distill_loss"]),
-                        "text_distill_loss": float(metrics["text_distill_loss"]),
-                        "contrastive_loss": float(metrics["contrastive_loss"]),
-                    },
+                    {k: float(v) for k, v in metrics.items()
+                     if k != "loss"} | {"train_loss": float(metrics["loss"])},
                 )
-        return total / max(n, 1)
+        return float(total) / n if n else 0.0
 
     def validate(self, batches: Iterable) -> float:
         total, n = 0.0, 0
@@ -260,7 +379,9 @@ class DistillTrainer:
                 ),
                 self.mesh,
             )
-            self._train_step = make_train_step(self._loss, self.tx, donate=False)
+            self._train_step = make_train_step(
+                self._student_loss, self.tx, donate=False
+            )
 
     def fit(
         self,

@@ -142,18 +142,19 @@ class TeacherTrainer:
         }
 
     def train_epoch(self, batches: Iterable, logger: Optional[MetricsLogger] = None) -> float:
-        total, n = 0.0, 0
+        # Device-side loss accumulation; host sync only at log points so
+        # steps pipeline through async dispatch.
+        total, n = None, 0
         for batch in batches:
             with trace_span("teacher_train_step"):
                 self.state, metrics = self._train_step(
                     self.state, self.clip_variables, self._device_batch(batch)
                 )
-            loss = float(metrics["loss"])
-            total += loss
+            total = metrics["loss"] if total is None else total + metrics["loss"]
             n += 1
-            if logger:
-                logger.log(int(self.state.step), {"train_loss": loss})
-        return total / max(n, 1)
+            if logger and n % logger.print_every == 0:
+                logger.log(int(self.state.step), {"train_loss": float(metrics["loss"])})
+        return float(total) / n if n else 0.0
 
     def validate(self, batches: Iterable) -> float:
         total, n = 0.0, 0

@@ -228,3 +228,36 @@ def test_distill_unfreeze_schedule(distill_setup, cpu_mesh):
         mid["vision_model"]["encoder"]["layers_0"]["mlp"]["fc1"]["kernel"],
         after["vision_model"]["encoder"]["layers_0"]["mlp"]["fc1"]["kernel"],
     )
+
+
+def test_teacher_target_cache_hits_and_matches(distill_setup, cpu_mesh):
+    """Second epoch uses cached teacher targets; results identical."""
+    import jax as _jax
+    import numpy as _np
+
+    from dclip_tpu.train import TeacherTargetCache
+
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    cache = TeacherTargetCache()
+    trainer = DistillTrainer(
+        cfg, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg,
+        mesh=cpu_mesh, teacher_cache=cache,
+    )
+    pipe = FakePipeline(clip_cfg, 1)
+    batch = pipe.batches[0]
+    dev = trainer._device_batch(batch)
+    t_img1, t_txt1 = trainer._get_teacher_targets(batch, dev)  # miss: computes
+    assert len(cache._mem) == B
+    t_img2, t_txt2 = trainer._get_teacher_targets(batch, dev)  # hit: cached
+    _np.testing.assert_allclose(
+        _np.asarray(t_img1), _np.asarray(t_img2), atol=1e-6
+    )
+    _np.testing.assert_allclose(
+        _np.asarray(t_txt1), _np.asarray(t_txt2), atol=1e-6
+    )
+    # Different caption ids -> different key -> miss.
+    batch2 = FakePipeline(clip_cfg, 1, seed=9).batches[0]
+    keys1 = TeacherTargetCache.keys_for(batch.as_dict())
+    keys2 = TeacherTargetCache.keys_for(batch2.as_dict())
+    assert set(keys1).isdisjoint(keys2)
+    del _jax
