@@ -259,6 +259,10 @@ class DistillConfig:
     # jax.checkpoint each encoder layer: trades FLOPs for HBM, enabling
     # larger per-chip batches for ViT-L/14 students.
     remat: bool = False
+    # Use the Pallas kernels on the hot path: fused bidirectional
+    # cross-attention for the frozen teacher targets and the fused
+    # distillation loss (custom VJP). XLA paths remain the default.
+    use_pallas: bool = False
 
 
 @dataclass(frozen=True)

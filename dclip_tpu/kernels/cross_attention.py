@@ -32,32 +32,35 @@ _NEG = -1e30
 
 
 def _mha(q_in, kv_in, wq, bq, wk, bk, wv, bv, wo, bo, kv_mask, num_heads):
-    """One attention direction on [S_q, D] x [S_k, D] blocks (f32)."""
+    """One attention direction on [S_q, D] x [S_k, D] blocks (f32).
+
+    Heads run as a static Python loop over 2-D slices: Mosaic cannot
+    shape-cast the lane dim ([S, D] -> [S, H, hd] needs hd % 128 == 0),
+    and with S <= 77 per-head [S_q, S_k] tiles are tiny anyway.
+    """
     d = q_in.shape[-1]
     head_dim = d // num_heads
     q = jnp.dot(q_in, wq, preferred_element_type=jnp.float32) + bq
     k = jnp.dot(kv_in, wk, preferred_element_type=jnp.float32) + bk
     v = jnp.dot(kv_in, wv, preferred_element_type=jnp.float32) + bv
-    sq, sk = q.shape[0], k.shape[0]
-    q = q.reshape(sq, num_heads, head_dim).transpose(1, 0, 2)  # [H, Sq, hd]
-    k = k.reshape(sk, num_heads, head_dim).transpose(1, 0, 2)
-    v = v.reshape(sk, num_heads, head_dim).transpose(1, 0, 2)
-    logits = jax.lax.dot_general(
-        q * (head_dim**-0.5),
-        k,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [H, Sq, Sk]
-    if kv_mask is not None:
-        logits = jnp.where(kv_mask[None, None, :] > 0, logits, _NEG)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jax.lax.dot_general(
-        probs,
-        v,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [H, Sq, hd]
-    out = out.transpose(1, 0, 2).reshape(sq, d)
+    scale = head_dim**-0.5
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        logits = jax.lax.dot_general(
+            qh * scale,
+            kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S_q, S_k]
+        if kv_mask is not None:
+            logits = jnp.where(kv_mask[None, :] > 0, logits, _NEG)
+        probs = jax.nn.softmax(logits, axis=-1)
+        outs.append(
+            jnp.dot(probs, vh, preferred_element_type=jnp.float32)
+        )  # [S_q, hd]
+    out = jnp.concatenate(outs, axis=-1)
     return jnp.dot(out, wo, preferred_element_type=jnp.float32) + bo
 
 
@@ -87,8 +90,11 @@ def _kernel(
 
     txt = text_ref[0].astype(jnp.float32)  # [T, D]
     img = image_ref[0].astype(jnp.float32)  # [P, D]
-    tmask = tmask_ref[0] if tmask_ref is not None else None
-    imask = imask_ref[0] if imask_ref is not None else None
+    # Masks arrive as FULL [B, S] blocks (a [1, S] block would violate the
+    # lane-dim tiling rule); select this program's row.
+    b_idx = pl.program_id(0)
+    tmask = tmask_ref[b_idx, :] if tmask_ref is not None else None
+    imask = imask_ref[b_idx, :] if imask_ref is not None else None
 
     t2i = _mha(txt, img, wq_t, bq_t, wk_t, bk_t, wv_t, bv_t, wo_t, bo_t,
                imask, num_heads)
@@ -140,7 +146,6 @@ def cross_attention_fused(
     weights = _flatten_params(params)
 
     row = lambda i: (i, 0, 0)  # noqa: E731
-    mask_row = lambda i: (i, 0)  # noqa: E731
     rep2 = lambda i: (0, 0)  # noqa: E731
     rep1 = lambda i: (0,)  # noqa: E731
 
@@ -151,8 +156,8 @@ def cross_attention_fused(
     inputs = [text, image]
     if use_masks:
         in_specs += [
-            pl.BlockSpec((1, t), mask_row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p), mask_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
         inputs += [text_mask.astype(jnp.float32), image_mask.astype(jnp.float32)]
     for w in weights:

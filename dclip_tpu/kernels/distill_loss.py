@@ -45,27 +45,29 @@ def _norm_rows(x):
 
 
 def _fwd_kernel(temperature, weight, si_ref, st_ref, ti_ref, tt_ref, out_ref):
+    # All intermediates stay 2-D (keepdims) — Mosaic relayout of 1-D
+    # vectors is unsupported; means are taken of 2-D arrays directly.
     si, _ = _norm_rows(si_ref[:].astype(jnp.float32))
     st, _ = _norm_rows(st_ref[:].astype(jnp.float32))
     ti, _ = _norm_rows(ti_ref[:].astype(jnp.float32))
     tt, _ = _norm_rows(tt_ref[:].astype(jnp.float32))
-    b = si.shape[0]
 
-    li = jnp.mean(1.0 - jnp.sum(si * ti, axis=-1))
-    lt = jnp.mean(1.0 - jnp.sum(st * tt, axis=-1))
+    li = 1.0 - jnp.mean(jnp.sum(si * ti, axis=-1, keepdims=True))
+    lt = 1.0 - jnp.mean(jnp.sum(st * tt, axis=-1, keepdims=True))
 
     z = jnp.dot(si, st.T, preferred_element_type=jnp.float32) / temperature
-    diag = jnp.sum(si * st, axis=-1) / temperature  # z's diagonal, directly
-    lse_row = jax.nn.logsumexp(z, axis=1)
-    lse_col = jax.nn.logsumexp(z, axis=0)
-    lc = 0.5 * (jnp.mean(lse_row - diag) + jnp.mean(lse_col - diag))
+    # mean(lse - diag) = mean(lse) - mean(diag): avoids transposing diag
+    # between row/column orientations.
+    mean_diag = jnp.mean(jnp.sum(si * st, axis=-1, keepdims=True)) / temperature
+    mean_lse_row = jnp.mean(jax.nn.logsumexp(z, axis=1, keepdims=True))
+    mean_lse_col = jnp.mean(jax.nn.logsumexp(z, axis=0, keepdims=True))
+    lc = 0.5 * (mean_lse_row + mean_lse_col) - mean_diag
 
     total = li + lt + weight * lc
     out_ref[0, 0] = li
     out_ref[0, 1] = lt
     out_ref[0, 2] = lc
     out_ref[0, 3] = total
-    del b
 
 
 def _bwd_kernel(

@@ -81,6 +81,33 @@ class PatchTextAggregation(nn.Module):
         )
 
 
+def aggregate_attended(
+    cfg: TeacherConfig,
+    attended_text: jnp.ndarray,
+    attended_image: jnp.ndarray,
+    text_mask: Optional[jnp.ndarray],
+    patch_mask: Optional[jnp.ndarray],
+) -> TeacherOutput:
+    """Aggregation + fusion stage of the teacher, shared by the Flax module
+    and the Pallas-kernel path (kernels.cross_attention_fused computes the
+    attended streams; this completes patch_text_aggregation.py:640-647)."""
+    tm = text_mask if cfg.mask_padding else None
+    pm = patch_mask if cfg.mask_padding else None
+    text_global = temperature_aggregate(
+        attended_text, cfg.aggregation_temperature, mask=tm
+    )
+    image_global = temperature_aggregate(
+        attended_image, cfg.aggregation_temperature, mask=pm
+    )
+    return TeacherOutput(
+        global_embedding=fuse_global(text_global, image_global, cfg.fusion_alpha),
+        text_global=text_global,
+        image_global=image_global,
+        attended_text=attended_text,
+        attended_image=attended_image,
+    )
+
+
 def encode_patches(
     clip_model: CLIPModule,
     clip_variables: Dict[str, Any],

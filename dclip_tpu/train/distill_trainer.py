@@ -174,6 +174,10 @@ class DistillTrainer:
         # update. donate=False on the student step because student params
         # may alias the teacher-CLIP variables (e.g. student initialized
         # from the same pretrained weights).
+        # Pallas kernels need interpret mode off-TPU; decide by where this
+        # trainer's mesh actually executes (NOT jax.default_backend(): the
+        # default platform can be a TPU while the mesh is CPU).
+        self._pallas_interpret = self.mesh.devices.flat[0].platform != "tpu"
         self._teacher_step = jax.jit(self._teacher_targets)
         self._train_step = make_train_step(self._student_loss, self.tx, donate=False)
         self._eval_loss = jax.jit(self._loss)
@@ -239,9 +243,27 @@ class DistillTrainer:
             batch["attention_mask"],
             self.teacher_clip_config.text.eos_token_id,
         )
-        out = self.teacher.apply(
-            {"params": teacher_params}, te, pe, tmask, batch["box_mask"]
-        )
+        if self.cfg.use_pallas:
+            from dclip_tpu.kernels import cross_attention_fused
+            from dclip_tpu.models.teacher import aggregate_attended
+
+            use_masks = self.cfg.teacher.mask_padding
+            at, ai = cross_attention_fused(
+                teacher_params["cross_modal_attention"],
+                te,
+                pe,
+                tmask if use_masks else None,
+                batch["box_mask"] if use_masks else None,
+                num_heads=self.cfg.teacher.num_heads,
+                interpret=self._pallas_interpret,
+            )
+            out = aggregate_attended(
+                self.cfg.teacher, at, ai, tmask, batch["box_mask"]
+            )
+        else:
+            out = self.teacher.apply(
+                {"params": teacher_params}, te, pe, tmask, batch["box_mask"]
+            )
         # aggregate_text per caption (CLIP_image_distillation.py:605-608).
         teacher_text = masked_mean(te, tmask)
         return (
@@ -263,14 +285,30 @@ class DistillTrainer:
             batch["attention_mask"],
             method=self.student.get_text_features,
         )
-        total, parts = distillation_loss(
-            student_img,
-            student_txt,
-            teacher_img,
-            teacher_txt,
-            temperature=self.cfg.temperature,
-            contrastive_weight=self.cfg.contrastive_weight,
-        )
+        if (
+            self.cfg.use_pallas
+            and student_img.shape[0] <= 1024  # fused-kernel VMEM bound
+        ):
+            from dclip_tpu.kernels import fused_distillation_loss
+
+            total, parts = fused_distillation_loss(
+                student_img,
+                student_txt,
+                teacher_img,
+                teacher_txt,
+                temperature=self.cfg.temperature,
+                contrastive_weight=self.cfg.contrastive_weight,
+                interpret=self._pallas_interpret,
+            )
+        else:
+            total, parts = distillation_loss(
+                student_img,
+                student_txt,
+                teacher_img,
+                teacher_txt,
+                temperature=self.cfg.temperature,
+                contrastive_weight=self.cfg.contrastive_weight,
+            )
         return total, parts
 
     def _loss(self, params, teacher_clip_variables, teacher_params, batch):

@@ -261,3 +261,26 @@ def test_teacher_target_cache_hits_and_matches(distill_setup, cpu_mesh):
     keys2 = TeacherTargetCache.keys_for(batch2.as_dict())
     assert set(keys1).isdisjoint(keys2)
     del _jax
+
+
+def test_distill_use_pallas_matches_xla(distill_setup, cpu_mesh):
+    """use_pallas path (interpret mode on CPU) == XLA path numerics."""
+    import dataclasses
+
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    pipe = FakePipeline(clip_cfg, 1)
+    batch = pipe.batches[0]
+    results = {}
+    for use_pallas in (False, True):
+        cfg2 = dataclasses.replace(cfg, use_pallas=use_pallas)
+        tr = DistillTrainer(
+            cfg2, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=cpu_mesh
+        )
+        dev = tr._device_batch(batch)
+        t_img, t_txt = tr._get_teacher_targets(batch, dev)
+        loss, _ = tr._eval_loss(
+            tr.state.params, tr.teacher_clip_variables, tr.teacher_params, dev
+        )
+        results[use_pallas] = (np.asarray(t_img), float(loss))
+    np.testing.assert_allclose(results[True][0], results[False][0], atol=1e-4)
+    assert np.isclose(results[True][1], results[False][1], atol=1e-4)
