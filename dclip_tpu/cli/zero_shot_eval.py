@@ -57,10 +57,13 @@ def _batches(args, image_size):
         return classnames, lambda: iterate_preprocessed(
             images, labels, args.batch_size, image_size
         )
-    classnames, _ = iterate_image_folder(args.data_dir, args.batch_size, image_size)
+    from dclip_tpu.eval.zero_shot import ensure_extracted
+
+    data_dir = ensure_extracted(args.data_dir)
+    classnames, _ = iterate_image_folder(data_dir, args.batch_size, image_size)
 
     def gen():
-        _, it = iterate_image_folder(args.data_dir, args.batch_size, image_size)
+        _, it = iterate_image_folder(data_dir, args.batch_size, image_size)
         count = 0
         for pixels, labels in it:
             if args.max_images and count >= args.max_images:

@@ -145,6 +145,25 @@ def iterate_preprocessed(
         yield pixels, labels[start : start + batch_size]
 
 
+def ensure_extracted(data_dir: str) -> str:
+    """Accept a .zip of an ImageFolder tree and extract it once
+    (reference test_zero_shot_ImageNet.py:29-35). Returns the directory."""
+    if not data_dir.endswith(".zip"):
+        return data_dir
+    import zipfile
+
+    target = data_dir[: -len(".zip")] + "_extracted"
+    if not os.path.isdir(target):
+        print(f"Extracting {data_dir} -> {target}")
+        with zipfile.ZipFile(data_dir) as z:
+            z.extractall(target)
+    # If the zip wraps everything in a single top-level dir, descend into it.
+    entries = [e for e in os.listdir(target) if not e.startswith(".")]
+    if len(entries) == 1 and os.path.isdir(os.path.join(target, entries[0])):
+        return os.path.join(target, entries[0])
+    return target
+
+
 def iterate_image_folder(
     root: str,
     batch_size: int = 64,

@@ -177,6 +177,7 @@ void* dcs_open(const char* path, int writable) {
 
 int64_t dcs_count(void* handle) {
   auto* s = static_cast<Store*>(handle);
+  std::lock_guard<std::mutex> lock(s->mu);
   return static_cast<int64_t>(s->index.size());
 }
 
@@ -195,10 +196,20 @@ int dcs_put(void* handle, const char* key, uint64_t key_len,
   if (val_len && fwrite(val, val_len, 1, s->f) != 1) return -3;
   s->data_end = off + 4 + key_len + 8 + val_len;
   uint64_t h = fnv1a(key, key_len);
-  // Overwrite-in-place semantics: drop older offsets for an identical key.
+  // Overwrite semantics: drop older offsets for the SAME key only (a
+  // colliding hash with a different key must survive).
+  s->ensure_visible(off);  // make prior records readable for key compare
   auto range = s->index.equal_range(h);
   for (auto it = range.first; it != range.second;) {
-    it = s->index.erase(it);
+    uint32_t kl;
+    uint64_t vl;
+    const char* k;
+    const char* v = s->record_at(it->second, &kl, &k, &vl);
+    if (v && kl == key_len && std::memcmp(k, key, key_len) == 0) {
+      it = s->index.erase(it);
+    } else {
+      ++it;
+    }
   }
   s->index.emplace(h, off);
   return 0;
@@ -232,6 +243,7 @@ int dcs_sync(void* handle) {
 int64_t dcs_get(void* handle, const char* key, uint64_t key_len,
                 char* out, uint64_t cap) {
   auto* s = static_cast<Store*>(handle);
+  std::lock_guard<std::mutex> lock(s->mu);
   s->ensure_visible(s->data_end);
   uint64_t h = fnv1a(key, key_len);
   auto range = s->index.equal_range(h);
@@ -253,6 +265,7 @@ int64_t dcs_get(void* handle, const char* key, uint64_t key_len,
 // or -1 when i is out of range. Order is unspecified but stable per open.
 int64_t dcs_key_at(void* handle, uint64_t i, char* out, uint64_t cap) {
   auto* s = static_cast<Store*>(handle);
+  std::lock_guard<std::mutex> lock(s->mu);
   s->ensure_visible(s->data_end);
   if (i >= s->index.size()) return -1;
   auto it = s->index.begin();

@@ -1,4 +1,5 @@
 """Native C++ runtime: KV store semantics + exact top-k vs numpy."""
+import os
 import numpy as np
 import pytest
 
@@ -105,3 +106,62 @@ def test_embedding_store_native_backend(tmp_path):
     loaded = EmbeddingStore.load(p)
     assert loaded.ids == ["x", "y"]
     np.testing.assert_allclose(loaded.keys, store.keys, atol=1e-7)
+
+
+def test_kv_store_tsan_build(tmp_path):
+    """Race-detection CI hook (SURVEY.md §5): build the native store with
+    ThreadSanitizer and exercise concurrent gets against a writer."""
+    import subprocess
+
+    src = os.path.join(os.path.dirname(native.__file__), "dclip_native.cc")
+    lib = str(tmp_path / "libdclip_tsan.so")
+    try:
+        subprocess.run(
+            ["g++", "-O1", "-std=c++17", "-shared", "-fPIC",
+             "-fsanitize=thread", "-o", lib, src, "-lpthread"],
+            check=True, capture_output=True, timeout=120,
+        )
+    except subprocess.SubprocessError:
+        pytest.skip("TSAN toolchain unavailable")
+    # Run the threaded access pattern in a subprocess with the TSAN lib so
+    # sanitizer reports fail the test via exit code.
+    code = f"""
+import ctypes, threading
+lib = ctypes.CDLL({lib!r})
+lib.dcs_open.restype = ctypes.c_void_p
+lib.dcs_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+lib.dcs_put.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64,
+                        ctypes.c_char_p, ctypes.c_uint64]
+lib.dcs_get.restype = ctypes.c_int64
+lib.dcs_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64,
+                        ctypes.c_char_p, ctypes.c_uint64]
+lib.dcs_sync.argtypes = [ctypes.c_void_p]
+h = lib.dcs_open({str(tmp_path / 's.dcs').encode()!r}, 1)
+def writer():
+    for i in range(200):
+        k = f"k{{i}}".encode()
+        lib.dcs_put(h, k, len(k), b"v" * 64, 64)
+    lib.dcs_sync(h)
+def reader():
+    for i in range(200):
+        k = f"k{{i % 50}}".encode()
+        lib.dcs_get(h, k, len(k), None, 0)
+ts = [threading.Thread(target=writer)] + [threading.Thread(target=reader)]
+[t.start() for t in ts]; [t.join() for t in ts]
+print("TSAN RUN DONE")
+"""
+    import glob
+    import sys
+
+    # libtsan must be preloaded: dlopen-ing a TSAN-built .so into a normal
+    # process fails with "cannot allocate memory in static TLS block".
+    tsan_libs = glob.glob("/lib/x86_64-linux-gnu/libtsan.so*") + glob.glob(
+        "/usr/lib/x86_64-linux-gnu/libtsan.so*"
+    )
+    if not tsan_libs:
+        pytest.skip("libtsan runtime not found")
+    env = dict(os.environ, LD_PRELOAD=tsan_libs[0])
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       timeout=120, text=True, env=env)
+    assert "TSAN RUN DONE" in r.stdout, r.stderr[-2000:]
+    assert "WARNING: ThreadSanitizer" not in r.stderr, r.stderr[-2000:]
