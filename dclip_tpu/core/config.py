@@ -198,6 +198,9 @@ class TeacherTrainConfig:
     # Activation dtype for encoder forwards (params stay float32; losses
     # compute in float32). "bfloat16" is the MXU-native fast path.
     compute_dtype: str = "float32"
+    # Route the cross-attention forward through the fused Pallas kernel
+    # (backward = rematerialized XLA VJP, kernels.cross_attention_trainable).
+    use_pallas: bool = False
 
 
 @dataclass(frozen=True)

@@ -3,7 +3,10 @@
 Each kernel has an XLA reference twin in `dclip_tpu.ops` / `dclip_tpu.models`
 and is parity-tested against it (interpret mode on CPU, compiled on TPU).
 """
-from dclip_tpu.kernels.cross_attention import cross_attention_fused
+from dclip_tpu.kernels.cross_attention import (
+    cross_attention_fused,
+    cross_attention_trainable,
+)
 from dclip_tpu.kernels.distill_loss import (
     MAX_FUSED_BATCH,
     fused_distillation_loss,
@@ -12,6 +15,7 @@ from dclip_tpu.kernels.distill_loss import (
 
 __all__ = [
     "cross_attention_fused",
+    "cross_attention_trainable",
     "fused_distillation_loss",
     "make_fused_distillation_loss",
     "MAX_FUSED_BATCH",

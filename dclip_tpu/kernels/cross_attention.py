@@ -127,6 +127,94 @@ def _flatten_params(params: Dict[str, Any]):
     )
 
 
+def _xla_reference(params, text, image, text_mask, image_mask, num_heads):
+    """Pure-XLA twin of the kernel (same math as the Flax module), used for
+    the recompute backward of `cross_attention_trainable`."""
+    import numpy as _np
+
+    def mha(p, q_in, kv_in, kv_mask):
+        d = q_in.shape[-1]
+        hd = d // num_heads
+        q = q_in @ p["q_proj"]["kernel"] + p["q_proj"]["bias"]
+        k = kv_in @ p["k_proj"]["kernel"] + p["k_proj"]["bias"]
+        v = kv_in @ p["v_proj"]["kernel"] + p["v_proj"]["bias"]
+
+        def split(t):
+            b, s, _ = t.shape
+            return t.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * (hd**-0.5), k,
+            preferred_element_type=jnp.float32,
+        )
+        if kv_mask is not None:
+            logits = jnp.where(kv_mask[:, None, None, :] > 0, logits, _NEG)
+        probs = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        b, h, s, _ = o.shape
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+        return o @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]
+
+    def ln(p, x, eps=1e-5):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+    text = text.astype(jnp.float32)
+    image = image.astype(jnp.float32)
+    at = ln(params["norm_text"], text + mha(params["text_to_image"], text, image, image_mask))
+    ai = ln(params["norm_image"], image + mha(params["image_to_text"], image, text, text_mask))
+    del _np
+    return at, ai
+
+
+def cross_attention_trainable(
+    params: Dict[str, Any],
+    text: jnp.ndarray,
+    image: jnp.ndarray,
+    text_mask: Optional[jnp.ndarray] = None,
+    image_mask: Optional[jnp.ndarray] = None,
+    num_heads: int = 8,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Differentiable fused cross-attention: Pallas forward + rematerialized
+    XLA backward.
+
+    The forward runs the fused kernel; the VJP recomputes the forward in XLA
+    and differentiates it (flash-attention-style recompute: no attention
+    residuals are stored). Gradients flow into params AND both input
+    streams, so the teacher trainer can use the kernel on its hot path.
+    """
+    if text_mask is None and image_mask is None:
+        masks = None
+    else:
+        masks = (text_mask, image_mask)
+
+    @jax.custom_vjp
+    def fwd_fn(params, text, image, masks):
+        tm, im = masks if masks is not None else (None, None)
+        return cross_attention_fused(
+            params, text, image, tm, im, num_heads=num_heads, interpret=interpret
+        )
+
+    def fwd(params, text, image, masks):
+        return fwd_fn(params, text, image, masks), (params, text, image, masks)
+
+    def bwd(res, g):
+        params, text, image, masks = res
+        tm, im = masks if masks is not None else (None, None)
+        _, vjp = jax.vjp(
+            lambda p, t, i: _xla_reference(p, t, i, tm, im, num_heads),
+            params, text, image,
+        )
+        dp, dt, di = vjp(g)
+        return dp, dt.astype(text.dtype), di.astype(image.dtype), None
+
+    fwd_fn.defvjp(fwd, bwd)
+    return fwd_fn(params, text, image, masks)
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def cross_attention_fused(
     params: Dict[str, Any],

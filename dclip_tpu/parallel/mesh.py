@@ -34,6 +34,32 @@ def make_mesh(
     return Mesh(grid, (cfg.data_axis, cfg.model_axis))
 
 
+def make_multislice_mesh(
+    cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Multi-slice mesh: model parallelism inside a slice (ICI), data
+    parallelism across slices (DCN). Uses mesh_utils' hybrid mesh so the
+    compiler routes collectives on the right fabric. Falls back to
+    `make_mesh` when the platform exposes no slice topology (single slice,
+    CPU test meshes)."""
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    try:
+        from jax.experimental import mesh_utils
+
+        n = len(devices)
+        mp = max(cfg.model_parallel, 1)
+        dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, mp),
+            dcn_mesh_shape=(dp, 1),
+            devices=devices[: dp * mp],
+        )
+        return Mesh(grid, (cfg.data_axis, cfg.model_axis))
+    except Exception:
+        return make_mesh(cfg, devices)
+
+
 def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
     """Shard leading (batch) dim over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(data_axis))

@@ -86,6 +86,7 @@ class TeacherTrainer:
         self.state = TrainState.create(teacher_params, self.tx)
         self.clip_variables = clip_variables
         self._put_replicated()
+        self._pallas_interpret = self.mesh.devices.flat[0].platform != "tpu"
         self._train_step = make_train_step(self._loss, self.tx)
         self._eval_loss = jax.jit(self._loss)
         self._batch_sharding = batch_sharding(self.mesh, cfg.mesh.data_axis)
@@ -124,9 +125,27 @@ class TeacherTrainer:
             batch["attention_mask"],
             self.clip_config.text.eos_token_id,
         )
-        out = self.teacher.apply(
-            {"params": params}, te, pe, tmask, batch["box_mask"]
-        )
+        if self.cfg.use_pallas:
+            from dclip_tpu.kernels import cross_attention_trainable
+            from dclip_tpu.models.teacher import aggregate_attended
+
+            use_masks = self.cfg.teacher.mask_padding
+            at, ai = cross_attention_trainable(
+                params["cross_modal_attention"],
+                te,
+                pe,
+                tmask if use_masks else None,
+                batch["box_mask"] if use_masks else None,
+                num_heads=self.cfg.teacher.num_heads,
+                interpret=self._pallas_interpret,
+            )
+            out = aggregate_attended(
+                self.cfg.teacher, at, ai, tmask, batch["box_mask"]
+            )
+        else:
+            out = self.teacher.apply(
+                {"params": params}, te, pe, tmask, batch["box_mask"]
+            )
         text_embeddings = masked_mean(te, tmask)
         loss = info_nce(out.global_embedding, text_embeddings, self.cfg.temperature)
         return loss, {"loss": loss, "contrastive_loss": loss}

@@ -103,3 +103,39 @@ def test_fused_loss_large_batch_fallback():
     total, parts = fused_distillation_loss(*args)  # silently uses XLA path
     want, _ = distillation_loss(*args)
     assert np.isclose(float(total), float(want), atol=1e-5)
+
+
+def test_cross_attention_trainable_gradient_parity(cm_setup):
+    """Pallas-fwd + XLA-recompute-bwd == pure Flax gradients."""
+    from dclip_tpu.kernels import cross_attention_trainable
+
+    model, variables, text, image = cm_setup
+    rng = np.random.RandomState(5)
+    tmask = np.ones((3, T), np.float32)
+    imask = np.ones((3, P), np.float32)
+    tmask[:, -2:] = 0
+    imask[:, -1:] = 0
+
+    def loss_kernel(p, t, i):
+        at, ai = cross_attention_trainable(
+            p, t, i, jnp.asarray(tmask), jnp.asarray(imask),
+            num_heads=H, interpret=True,
+        )
+        return jnp.sum(at**2) + jnp.sum(ai**2)
+
+    def loss_flax(p, t, i):
+        at, ai = model.apply(
+            {"params": p}, t, i,
+            text_mask=jnp.asarray(tmask), image_mask=jnp.asarray(imask),
+        )
+        return jnp.sum(at**2) + jnp.sum(ai**2)
+
+    args = (variables["params"], jnp.asarray(text), jnp.asarray(image))
+    g_k = jax.grad(loss_kernel, argnums=(0, 1, 2))(*args)
+    g_f = jax.grad(loss_flax, argnums=(0, 1, 2))(*args)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3
+        ),
+        g_k, g_f,
+    )

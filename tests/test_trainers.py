@@ -284,3 +284,24 @@ def test_distill_use_pallas_matches_xla(distill_setup, cpu_mesh):
         results[use_pallas] = (np.asarray(t_img), float(loss))
     np.testing.assert_allclose(results[True][0], results[False][0], atol=1e-4)
     assert np.isclose(results[True][1], results[False][1], atol=1e-4)
+
+
+def test_teacher_trainer_use_pallas_matches_xla(clip_setup, cpu_mesh):
+    import dataclasses
+
+    clip_cfg, clip_vars = clip_setup
+    pipe = FakePipeline(clip_cfg, 1)
+    losses = {}
+    for use_pallas in (False, True):
+        cfg = TeacherTrainConfig(
+            epochs=1, teacher=_tiny_teacher_cfg(clip_cfg), clip_model="tiny",
+            use_pallas=use_pallas, learning_rate=1e-3,
+        )
+        tr = TeacherTrainer(cfg, clip_vars, clip_cfg, mesh=cpu_mesh)
+        losses[use_pallas] = (
+            tr.validate(pipe.epoch(0)),
+            tr.train_epoch(pipe.epoch(0)),
+        )
+    np.testing.assert_allclose(losses[True][0], losses[False][0], atol=1e-4)
+    np.testing.assert_allclose(losses[True][1], losses[False][1], atol=1e-4)
+    del dataclasses
