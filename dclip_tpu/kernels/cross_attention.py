@@ -128,45 +128,20 @@ def _flatten_params(params: Dict[str, Any]):
 
 
 def _xla_reference(params, text, image, text_mask, image_mask, num_heads):
-    """Pure-XLA twin of the kernel (same math as the Flax module), used for
-    the recompute backward of `cross_attention_trainable`."""
-    import numpy as _np
+    """The Flax CrossModalAttention module itself — THE differentiable
+    reference (dclip_tpu.models.cross_modal) — used for the recompute
+    backward of `cross_attention_trainable`. One implementation to keep in
+    sync with the kernel, not two."""
+    from dclip_tpu.models.cross_modal import CrossModalAttention
 
-    def mha(p, q_in, kv_in, kv_mask):
-        d = q_in.shape[-1]
-        hd = d // num_heads
-        q = q_in @ p["q_proj"]["kernel"] + p["q_proj"]["bias"]
-        k = kv_in @ p["k_proj"]["kernel"] + p["k_proj"]["bias"]
-        v = kv_in @ p["v_proj"]["kernel"] + p["v_proj"]["bias"]
-
-        def split(t):
-            b, s, _ = t.shape
-            return t.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
-
-        q, k, v = split(q), split(k), split(v)
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q * (hd**-0.5), k,
-            preferred_element_type=jnp.float32,
-        )
-        if kv_mask is not None:
-            logits = jnp.where(kv_mask[:, None, None, :] > 0, logits, _NEG)
-        probs = jax.nn.softmax(logits, axis=-1)
-        o = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-        b, h, s, _ = o.shape
-        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
-        return o @ p["out_proj"]["kernel"] + p["out_proj"]["bias"]
-
-    def ln(p, x, eps=1e-5):
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
-
-    text = text.astype(jnp.float32)
-    image = image.astype(jnp.float32)
-    at = ln(params["norm_text"], text + mha(params["text_to_image"], text, image, image_mask))
-    ai = ln(params["norm_image"], image + mha(params["image_to_text"], image, text, text_mask))
-    del _np
-    return at, ai
+    module = CrossModalAttention(embed_dim=text.shape[-1], num_heads=num_heads)
+    return module.apply(
+        {"params": params},
+        text.astype(jnp.float32),
+        image.astype(jnp.float32),
+        text_mask=text_mask,
+        image_mask=image_mask,
+    )
 
 
 def cross_attention_trainable(
@@ -186,9 +161,16 @@ def cross_attention_trainable(
     residuals are stored). Gradients flow into params AND both input
     streams, so the teacher trainer can use the kernel on its hot path.
     """
+    # Normalize single-sided masks to a pair: the fused kernel takes both
+    # or neither, and a silently dropped mask would make the forward and
+    # the recompute backward disagree.
     if text_mask is None and image_mask is None:
         masks = None
     else:
+        if text_mask is None:
+            text_mask = jnp.ones(text.shape[:2], jnp.float32)
+        if image_mask is None:
+            image_mask = jnp.ones(image.shape[:2], jnp.float32)
         masks = (text_mask, image_mask)
 
     @jax.custom_vjp
@@ -228,9 +210,13 @@ def cross_attention_fused(
     """Fused forward. params = CrossModalAttention flax param dict."""
     b, t, d = text.shape
     p = image.shape[1]
-    use_masks = text_mask is not None
-    if use_masks and image_mask is None:
-        raise ValueError("pass both masks or neither")
+    use_masks = text_mask is not None or image_mask is not None
+    if use_masks:
+        # Normalize single-sided masks so neither is silently dropped.
+        if text_mask is None:
+            text_mask = jnp.ones((b, t), jnp.float32)
+        if image_mask is None:
+            image_mask = jnp.ones((b, p), jnp.float32)
     weights = _flatten_params(params)
 
     row = lambda i: (i, 0, 0)  # noqa: E731

@@ -84,18 +84,20 @@ class CrossModalAttention(nn.Module):
         text_mask: Optional[jnp.ndarray] = None,  # [B, T], 1 = valid
         image_mask: Optional[jnp.ndarray] = None,  # [B, P], 1 = valid
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # epsilon=1e-5: torch nn.LayerNorm's default (flax defaults to 1e-6;
+        # this block's numerics are pinned to the torch reference).
         t2i = MultiheadCrossAttention(
             self.embed_dim, self.num_heads, self.dtype, name="text_to_image"
         )(text_embedding, image_embedding, key_padding_mask=image_mask)
-        attended_text = nn.LayerNorm(dtype=self.dtype, name="norm_text")(
-            text_embedding + t2i
-        )
+        attended_text = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, name="norm_text"
+        )(text_embedding + t2i)
         i2t = MultiheadCrossAttention(
             self.embed_dim, self.num_heads, self.dtype, name="image_to_text"
         )(image_embedding, text_embedding, key_padding_mask=text_mask)
-        attended_image = nn.LayerNorm(dtype=self.dtype, name="norm_image")(
-            image_embedding + i2t
-        )
+        attended_image = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, name="norm_image"
+        )(image_embedding + i2t)
         return attended_text, attended_image
 
 

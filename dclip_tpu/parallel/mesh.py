@@ -38,26 +38,44 @@ def make_multislice_mesh(
     cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = None
 ) -> Mesh:
     """Multi-slice mesh: model parallelism inside a slice (ICI), data
-    parallelism across slices (DCN). Uses mesh_utils' hybrid mesh so the
-    compiler routes collectives on the right fabric. Falls back to
-    `make_mesh` when the platform exposes no slice topology (single slice,
-    CPU test meshes)."""
+    parallelism within AND across slices, with the cross-slice factor
+    placed on DCN by mesh_utils' hybrid mesh so collectives route on the
+    right fabric.
+
+    Falls back to the flat `make_mesh` only when the devices expose no
+    slice topology (single slice / CPU test meshes). Misconfigurations
+    (model_parallel not dividing chips-per-slice, data_parallel
+    incompatible with the topology) raise instead of silently degrading.
+    """
     cfg = cfg or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
-    try:
-        from jax.experimental import mesh_utils
-
-        n = len(devices)
-        mp = max(cfg.model_parallel, 1)
-        dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
-        grid = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, mp),
-            dcn_mesh_shape=(dp, 1),
-            devices=devices[: dp * mp],
-        )
-        return Mesh(grid, (cfg.data_axis, cfg.model_axis))
-    except Exception:
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    if len(slice_ids) <= 1:
         return make_mesh(cfg, devices)
+
+    from jax.experimental import mesh_utils
+
+    num_slices = len(slice_ids)
+    chips_per_slice = len(devices) // num_slices
+    mp = max(cfg.model_parallel, 1)
+    if chips_per_slice % mp != 0:
+        raise ValueError(
+            f"model_parallel={mp} must divide chips-per-slice {chips_per_slice}"
+            " (TP collectives must stay on ICI, never cross DCN)"
+        )
+    intra_dp = chips_per_slice // mp
+    dp = num_slices * intra_dp
+    if cfg.data_parallel > 0 and cfg.data_parallel != dp:
+        raise ValueError(
+            f"data_parallel={cfg.data_parallel} incompatible with topology: "
+            f"{num_slices} slices x {chips_per_slice} chips / mp={mp} -> dp={dp}"
+        )
+    grid = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(intra_dp, mp),  # within a slice (ICI)
+        dcn_mesh_shape=(num_slices, 1),  # across slices (DCN)
+        devices=devices,
+    )
+    return Mesh(grid, (cfg.data_axis, cfg.model_axis))
 
 
 def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:

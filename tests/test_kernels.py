@@ -110,7 +110,6 @@ def test_cross_attention_trainable_gradient_parity(cm_setup):
     from dclip_tpu.kernels import cross_attention_trainable
 
     model, variables, text, image = cm_setup
-    rng = np.random.RandomState(5)
     tmask = np.ones((3, T), np.float32)
     imask = np.ones((3, P), np.float32)
     tmask[:, -2:] = 0
@@ -139,3 +138,20 @@ def test_cross_attention_trainable_gradient_parity(cm_setup):
         ),
         g_k, g_f,
     )
+
+
+def test_cross_attention_single_sided_mask_not_dropped(cm_setup):
+    """A lone image_mask must affect the fused forward (was silently
+    dropped; forward/backward then disagreed)."""
+    model, variables, text, image = cm_setup
+    imask = np.ones((3, P), np.float32)
+    imask[:, -2:] = 0
+    got_t, _ = cross_attention_fused(
+        variables["params"], jnp.asarray(text), jnp.asarray(image),
+        None, jnp.asarray(imask), num_heads=H, interpret=True,
+    )
+    want_t, _ = model.apply(
+        variables, jnp.asarray(text), jnp.asarray(image),
+        image_mask=jnp.asarray(imask),
+    )
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t), atol=1e-4)

@@ -97,3 +97,13 @@ def test_head_divisibility_guard(cpu_devices):
                      devices=cpu_devices)
     with pytest.raises(ValueError, match="not divisible"):
         head_divisibility_check(12, mesh)
+
+
+def test_multislice_mesh_falls_back_without_slices(cpu_devices):
+    """CPU devices expose no multi-slice topology -> flat mesh."""
+    from dclip_tpu.parallel import make_multislice_mesh
+
+    m = make_multislice_mesh(
+        MeshConfig(data_parallel=4, model_parallel=2), devices=cpu_devices
+    )
+    assert dict(m.shape) == {"data": 4, "model": 2}

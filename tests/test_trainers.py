@@ -287,8 +287,6 @@ def test_distill_use_pallas_matches_xla(distill_setup, cpu_mesh):
 
 
 def test_teacher_trainer_use_pallas_matches_xla(clip_setup, cpu_mesh):
-    import dataclasses
-
     clip_cfg, clip_vars = clip_setup
     pipe = FakePipeline(clip_cfg, 1)
     losses = {}
@@ -304,4 +302,3 @@ def test_teacher_trainer_use_pallas_matches_xla(clip_setup, cpu_mesh):
         )
     np.testing.assert_allclose(losses[True][0], losses[False][0], atol=1e-4)
     np.testing.assert_allclose(losses[True][1], losses[False][1], atol=1e-4)
-    del dataclasses
