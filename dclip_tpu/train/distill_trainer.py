@@ -179,6 +179,8 @@ class DistillTrainer:
         # default platform can be a TPU while the mesh is CPU).
         self._pallas_interpret = self.mesh.devices.flat[0].platform != "tpu"
         self._teacher_step = jax.jit(self._teacher_targets)
+        self._patch_encode_step = jax.jit(self._encode_patches_only)
+        self._teacher_tail_step = jax.jit(self._teacher_tail)
         self._train_step = make_train_step(self._student_loss, self.tx, donate=False)
         self._eval_loss = jax.jit(self._loss)
         self._batch_sharding = batch_sharding(self.mesh, cfg.mesh.data_axis)
@@ -227,8 +229,10 @@ class DistillTrainer:
 
     # -- teacher forward (frozen) ------------------------------------------------
 
-    def _teacher_targets(self, teacher_clip_variables, teacher_params, batch):
-        pe = encode_patches(
+    def _encode_patches_only(self, teacher_clip_variables, batch):
+        """Image side of the teacher: caption-INDEPENDENT, so cacheable per
+        image even when per-epoch caption resampling changes the text."""
+        return encode_patches(
             self.teacher_clip,
             teacher_clip_variables,
             batch["teacher_pixels"],
@@ -236,6 +240,9 @@ class DistillTrainer:
             batch["box_mask"],
             patch_size=self.teacher_clip_config.vision.image_size,
         )
+
+    def _teacher_tail(self, teacher_clip_variables, teacher_params, pe, batch):
+        """Text encode + cross-attention + aggregation, given patch embeds."""
         te, tmask = encode_tokens(
             self.teacher_clip,
             teacher_clip_variables,
@@ -270,6 +277,10 @@ class DistillTrainer:
             jax.lax.stop_gradient(out.global_embedding),
             jax.lax.stop_gradient(teacher_text),
         )
+
+    def _teacher_targets(self, teacher_clip_variables, teacher_params, batch):
+        pe = self._encode_patches_only(teacher_clip_variables, batch)
+        return self._teacher_tail(teacher_clip_variables, teacher_params, pe, batch)
 
     # -- loss ------------------------------------------------------------------------
 
@@ -330,25 +341,42 @@ class DistillTrainer:
         }
 
     def _get_teacher_targets(self, raw_batch, device_batch):
-        """Cached teacher targets when possible, else one teacher jit."""
-        keys = None
+        """Teacher targets with a two-level cache.
+
+        Level 1: full (img, txt) targets keyed by (index, caption ids).
+        Level 2: patch embeddings keyed by index only — the image side is
+        caption-independent, so per-epoch caption resampling still skips
+        the 512-crop ViT forwards (the dominant step cost); only the cheap
+        text+cross-attention tail reruns.
+        """
+        import numpy as np
+
+        keys = patch_keys = None
         if self.teacher_cache is not None:
             d = raw_batch.as_dict() if hasattr(raw_batch, "as_dict") else raw_batch
             if "index" in d:
                 keys = TeacherTargetCache.keys_for(d)
                 cached = self.teacher_cache.get_batch(keys)
                 if cached is not None:
-                    t = jax.device_put(
-                        jnp.asarray(cached), self._batch_sharding
-                    )
+                    t = jax.device_put(jnp.asarray(cached), self._batch_sharding)
                     return t[:, 0], t[:, 1]
+                patch_keys = [
+                    f"pe:{int(i)}" for i in np.asarray(d["index"])
+                ]
         with trace_span("teacher_targets"):
-            teacher_img, teacher_txt = self._teacher_step(
-                self.teacher_clip_variables, self.teacher_params, device_batch
+            pe = None
+            if patch_keys is not None:
+                cached_pe = self.teacher_cache.get_batch(patch_keys)
+                if cached_pe is not None:
+                    pe = jax.device_put(jnp.asarray(cached_pe), self._batch_sharding)
+            if pe is None:
+                pe = self._patch_encode_step(self.teacher_clip_variables, device_batch)
+                if patch_keys is not None:
+                    self.teacher_cache.put_batch(patch_keys, np.asarray(pe))
+            teacher_img, teacher_txt = self._teacher_tail_step(
+                self.teacher_clip_variables, self.teacher_params, pe, device_batch
             )
         if keys is not None:
-            import numpy as np
-
             self.teacher_cache.put_batch(
                 keys,
                 np.stack(

@@ -247,7 +247,7 @@ def test_teacher_target_cache_hits_and_matches(distill_setup, cpu_mesh):
     batch = pipe.batches[0]
     dev = trainer._device_batch(batch)
     t_img1, t_txt1 = trainer._get_teacher_targets(batch, dev)  # miss: computes
-    assert len(cache._mem) == B
+    assert len(cache._mem) == 2 * B  # B full targets + B patch embeds
     t_img2, t_txt2 = trainer._get_teacher_targets(batch, dev)  # hit: cached
     _np.testing.assert_allclose(
         _np.asarray(t_img1), _np.asarray(t_img2), atol=1e-6
@@ -302,3 +302,37 @@ def test_teacher_trainer_use_pallas_matches_xla(clip_setup, cpu_mesh):
         )
     np.testing.assert_allclose(losses[True][0], losses[False][0], atol=1e-4)
     np.testing.assert_allclose(losses[True][1], losses[False][1], atol=1e-4)
+
+
+def test_patch_embed_cache_survives_caption_change(distill_setup, cpu_mesh):
+    """New caption -> full-target miss but patch-level hit; targets match a
+    cold computation exactly."""
+    import dataclasses
+
+    from dclip_tpu.train import TeacherTargetCache
+
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    cache = TeacherTargetCache()
+    trainer = DistillTrainer(
+        cfg, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg,
+        mesh=cpu_mesh, teacher_cache=cache,
+    )
+    batch1 = FakePipeline(clip_cfg, 1, seed=0).batches[0]
+    trainer._get_teacher_targets(batch1, trainer._device_batch(batch1))
+    n_after_first = len(cache._mem)
+    assert n_after_first == 2 * B  # B full targets + B patch embeds
+
+    # Same images (same index), different captions.
+    batch2 = dataclasses.replace(
+        batch1,
+        input_ids=np.roll(batch1.input_ids, 1, axis=0),
+        attention_mask=np.roll(batch1.attention_mask, 1, axis=0),
+    )
+    t_img, t_txt = trainer._get_teacher_targets(batch2, trainer._device_batch(batch2))
+    # Cold trainer (no cache) must agree.
+    trainer2 = DistillTrainer(
+        cfg, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=cpu_mesh
+    )
+    w_img, w_txt = trainer2._get_teacher_targets(batch2, trainer2._device_batch(batch2))
+    np.testing.assert_allclose(np.asarray(t_img), np.asarray(w_img), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_txt), np.asarray(w_txt), atol=1e-5)
