@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(native KV store); 'memory' for in-process only")
     p.add_argument("--max_patches", type=int, default=8)
     p.add_argument("--teacher_image_size", type=int, default=224)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--use_pallas", action="store_true",
+                   help="fused Pallas kernels on the hot path")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint encoder layers (memory for FLOPs)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--metrics_csv", default=None)
     add_model_args(p)  # teacher CLIP stack
@@ -125,6 +131,9 @@ def main(argv=None) -> int:
         teacher_clip_model=args.model_preset,
         teacher=teacher_cfg,
         mesh=mesh_config(args),
+        compute_dtype=args.compute_dtype,
+        use_pallas=args.use_pallas,
+        remat=args.remat,
     )
 
     teacher_params = load_teacher_params(

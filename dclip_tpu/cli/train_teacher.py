@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="npz detection cache (see cli.precache)")
     p.add_argument("--max_patches", type=int, default=8)
     p.add_argument("--teacher_image_size", type=int, default=224)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--use_pallas", action="store_true",
+                   help="fused Pallas kernels on the hot path")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--metrics_csv", default=None)
     add_model_args(p)
@@ -72,6 +76,8 @@ def main(argv=None) -> int:
         ),
         clip_model=args.model_preset,
         mesh=mesh_config(args),
+        compute_dtype=args.compute_dtype,
+        use_pallas=args.use_pallas,
     )
     print(teacher_config_summary(cfg))
 

@@ -332,15 +332,21 @@ class DistillTrainer:
 
     # -- loops ---------------------------------------------------------------------------
 
-    def _device_batch(self, batch) -> Dict[str, jnp.ndarray]:
+    # Fields the student step consumes; teacher-only fields (teacher_pixels,
+    # boxes, conf, box_mask) are skipped from H2D when the cache already
+    # holds the teacher side — they are most of the batch bytes.
+    _STUDENT_FIELDS = ("pixel_values", "input_ids", "attention_mask")
+
+    def _device_batch(self, batch, fields=None) -> Dict[str, jnp.ndarray]:
         d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
         return {
             k: jax.device_put(v, self._batch_sharding)
             for k, v in d.items()
-            if k != "index"
+            if k != "index" and (fields is None or k in fields)
         }
 
-    def _get_teacher_targets(self, raw_batch, device_batch):
+    def _get_teacher_targets(self, raw_batch, device_batch, keys=None,
+                             probe_full=True):
         """Teacher targets with a two-level cache.
 
         Level 1: full (img, txt) targets keyed by (index, caption ids).
@@ -351,15 +357,19 @@ class DistillTrainer:
         """
         import numpy as np
 
-        keys = patch_keys = None
+        patch_keys = None
         if self.teacher_cache is not None:
             d = raw_batch.as_dict() if hasattr(raw_batch, "as_dict") else raw_batch
             if "index" in d:
-                keys = TeacherTargetCache.keys_for(d)
-                cached = self.teacher_cache.get_batch(keys)
-                if cached is not None:
-                    t = jax.device_put(jnp.asarray(cached), self._batch_sharding)
-                    return t[:, 0], t[:, 1]
+                if keys is None:
+                    keys = TeacherTargetCache.keys_for(d)
+                if probe_full:
+                    cached = self.teacher_cache.get_batch(keys)
+                    if cached is not None:
+                        t = jax.device_put(
+                            jnp.asarray(cached), self._batch_sharding
+                        )
+                        return t[:, 0], t[:, 1]
                 patch_keys = [
                     f"pe:{int(i)}" for i in np.asarray(d["index"])
                 ]
@@ -386,9 +396,26 @@ class DistillTrainer:
         return teacher_img, teacher_txt
 
     def train_step_on_batch(self, batch):
-        """One full training step (teacher targets + student update)."""
-        device_batch = self._device_batch(batch)
-        teacher_img, teacher_txt = self._get_teacher_targets(batch, device_batch)
+        """One full training step (teacher targets + student update).
+
+        Host-side cache probing happens BEFORE device transfer so that on a
+        full-target hit only the student fields cross H2D.
+        """
+        d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
+        cached = None
+        keys = None
+        if self.teacher_cache is not None and "index" in d:
+            keys = TeacherTargetCache.keys_for(d)
+            cached = self.teacher_cache.get_batch(keys)
+        if cached is not None:
+            device_batch = self._device_batch(batch, self._STUDENT_FIELDS)
+            t = jax.device_put(jnp.asarray(cached), self._batch_sharding)
+            teacher_img, teacher_txt = t[:, 0], t[:, 1]
+        else:
+            device_batch = self._device_batch(batch)
+            teacher_img, teacher_txt = self._get_teacher_targets(
+                batch, device_batch, keys=keys, probe_full=False
+            )
         with trace_span("distill_train_step"):
             self.state, metrics = self._train_step(
                 self.state, teacher_img, teacher_txt, device_batch
