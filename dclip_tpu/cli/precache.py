@@ -30,9 +30,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Build detection + patch-index caches")
     p.add_argument("--json_file", required=True)
     p.add_argument("--cache_dir", default="cache")
-    p.add_argument("--detector", choices=["grid"], default="grid",
-                   help="detector plugin (offline YOLO runs plug in here by "
-                        "writing the same npz cache artifact)")
+    p.add_argument("--detector", choices=["grid", "flax"], default="grid",
+                   help="'grid': dependency-free proposals; 'flax': the "
+                        "native TPU detector (models.detector; random-init "
+                        "unless --detector_checkpoint). Offline YOLO runs "
+                        "plug in by writing the same npz cache artifact.")
+    p.add_argument("--detector_checkpoint", default=None,
+                   help="msgpack variables for the flax detector")
+    p.add_argument("--detector_image_size", type=int, default=640)
     p.add_argument("--build_index", action="store_true",
                    help="also build the patch EmbeddingStore (compute_faiss role)")
     p.add_argument("--batch_size", type=int, default=256)
@@ -46,9 +51,26 @@ def main(argv=None) -> int:
     paths = [it["image_path"] for it in items]
     print(f"{len(items)} corpus items, {len(dict.fromkeys(paths))} unique images")
 
+    if args.detector == "flax":
+        from dclip_tpu.models.detector import Detector, DetectorConfig
+
+        det = Detector.initialize(
+            DetectorConfig(image_size=args.detector_image_size), seed=args.seed
+        )
+        if args.detector_checkpoint:
+            import flax.serialization
+
+            with open(args.detector_checkpoint, "rb") as f:
+                det.variables = flax.serialization.from_bytes(
+                    det.variables, f.read()
+                )
+        detect_fn = det.as_detect_fn()
+    else:
+        detect_fn = GridProposalDetector()
+
     det_path = cache_path_for(args.json_file, "precache", args.cache_dir)
     existing = DetectionCache.load(det_path) if os.path.exists(det_path) else None
-    cache = build_cache(paths, GridProposalDetector(), det_path, existing)
+    cache = build_cache(paths, detect_fn, det_path, existing)
     print(f"Detection cache: {det_path} ({len(cache)} images)")
 
     if args.build_index:
