@@ -20,6 +20,15 @@ BASELINE_IMAGES_PER_SEC = 67000 / 7200.0
 
 
 def main() -> None:
+    import contextlib
+    import sys
+
+    with contextlib.redirect_stdout(sys.stderr):
+        result = _run()
+    print(json.dumps(result))  # stdout carries EXACTLY one JSON line
+
+
+def _run() -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -86,16 +95,12 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     images_per_sec = n_steps * batch / dt
-    print(
-        json.dumps(
-            {
-                "metric": "distill_images_per_sec_per_chip",
-                "value": round(images_per_sec, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
-            }
-        )
-    )
+    return {
+        "metric": "distill_images_per_sec_per_chip",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+    }
 
 
 if __name__ == "__main__":
