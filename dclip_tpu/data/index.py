@@ -42,9 +42,9 @@ def build_patch_index(
     """Crop every detected box, batch-encode, store normalized embeddings."""
     from PIL import Image
 
-    fwd = jax.jit(
-        lambda v, p: clip_model.apply(v, p, method=clip_model.get_image_features)
-    )
+    from dclip_tpu.models.encoding import make_image_encoder
+
+    encoder = make_image_encoder(clip_model, clip_variables, batch_size)
     dim = None
     store: Optional[EmbeddingStore] = None
 
@@ -55,13 +55,7 @@ def build_patch_index(
         nonlocal store, dim
         if not pending_pixels:
             return
-        arr = np.stack(pending_pixels)
-        n = arr.shape[0]
-        if n < batch_size:
-            arr = np.concatenate(
-                [arr, np.zeros((batch_size - n,) + arr.shape[1:], arr.dtype)]
-            )
-        emb = np.asarray(fwd(clip_variables, jnp.asarray(arr)))[:n]
+        emb = encoder(pending_pixels)
         if store is None:
             dim = emb.shape[-1]
             store = EmbeddingStore(dim=dim)

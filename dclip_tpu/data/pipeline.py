@@ -178,6 +178,9 @@ class MultiModalPipeline:
         stop = threading.Event()
 
         def producer():
+            # Exceptions are forwarded to the consumer and re-raised there:
+            # a silently dying producer would truncate every epoch at the
+            # failing item while training carried on oblivious.
             try:
                 with ThreadPoolExecutor(self.num_threads) as pool:
                     for b in range(n_batches):
@@ -186,8 +189,9 @@ class MultiModalPipeline:
                         idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
                         items = list(pool.map(lambda i: self._load_item(int(i), epoch), idxs))
                         q.put(self._collate(items))
-            finally:
                 q.put(None)
+            except BaseException as e:  # noqa: BLE001 - forwarded, not swallowed
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -196,6 +200,8 @@ class MultiModalPipeline:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

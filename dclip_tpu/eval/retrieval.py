@@ -42,26 +42,16 @@ def embed_images(
     from PIL import Image
 
     from dclip_tpu.data.pipeline import preprocess_image
+    from dclip_tpu.models.encoding import make_image_encoder
 
-    fwd = jax.jit(lambda v, p: model.apply(v, p, method=model.get_image_features))
-    out = []
-    for start in range(0, len(image_paths), batch_size):
-        chunk = image_paths[start : start + batch_size]
-        pixels = []
-        for path in chunk:
-            try:
-                with Image.open(path) as im:
-                    pixels.append(preprocess_image(im.convert("RGB"), image_size))
-            except Exception:
-                pixels.append(np.zeros((image_size, image_size, 3), np.float32))
-        arr = np.stack(pixels)
-        n = arr.shape[0]
-        if n < batch_size:
-            arr = np.concatenate(
-                [arr, np.zeros((batch_size - n,) + arr.shape[1:], arr.dtype)]
-            )
-        out.append(np.asarray(fwd(variables, jnp.asarray(arr)))[:n])
-    return np.concatenate(out, 0)
+    pixels = []
+    for path in image_paths:
+        try:
+            with Image.open(path) as im:
+                pixels.append(preprocess_image(im.convert("RGB"), image_size))
+        except Exception:
+            pixels.append(np.zeros((image_size, image_size, 3), np.float32))
+    return make_image_encoder(model, variables, batch_size)(pixels)
 
 
 def embed_captions(

@@ -97,7 +97,10 @@ def patch_weights(
         count = jnp.full(w.shape[:-1] + (1,), w.shape[-1], jnp.float32)
         uniform = jnp.ones_like(w) / count
     total = jnp.sum(w, axis=-1, keepdims=True)
-    return jnp.where(total > 0, w / jnp.where(total > 0, total, 1.0), uniform)
+    # Reference (:196-200) special-cases ONLY total == 0; a negative total
+    # (possible: similarities can be negative) still divides.
+    nonzero = total != 0
+    return jnp.where(nonzero, w / jnp.where(nonzero, total, 1.0), uniform)
 
 
 def fuse_global(

@@ -70,7 +70,8 @@ def knn_search_sharded(
     local_idx = local_idx + my * n_local
     all_scores = jax.lax.all_gather(local_scores, axis, axis=1, tiled=True)
     all_idx = jax.lax.all_gather(local_idx, axis, axis=1, tiled=True)
-    top_scores, pos = jax.lax.top_k(all_scores, k)
+    # Tiny stores can gather fewer than k candidates in total.
+    top_scores, pos = jax.lax.top_k(all_scores, min(k, all_scores.shape[1]))
     return top_scores, jnp.take_along_axis(all_idx, pos, axis=1)
 
 

@@ -1,0 +1,121 @@
+"""Shared trainer scaffolding: epoch loop, checkpoints, resume, transfers.
+
+TeacherTrainer and DistillTrainer differ only in their loss/step functions;
+the epoch/checkpoint/interrupt/resume machinery lives here once (it had
+started drifting as duplicated code — review finding)."""
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dclip_tpu.core.metrics import MetricsLogger
+from dclip_tpu.parallel.mesh import replicate_tree
+from dclip_tpu.train.checkpoint import CheckpointManager
+
+
+class BaseTrainer:
+    """Subclasses set: self.mesh, self.state, self._batch_sharding, and
+    implement train_step_on_batch(batch) -> metrics and
+    eval_loss_on_batch(batch) -> scalar; optionally override _num_epochs
+    and _on_epoch_start."""
+
+    def _device_batch(self, batch, fields=None) -> Dict[str, jnp.ndarray]:
+        d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
+        return {
+            k: jax.device_put(v, self._batch_sharding)
+            for k, v in d.items()
+            if k != "index" and (fields is None or k in fields)
+        }
+
+    def _num_epochs(self) -> int:
+        raise NotImplementedError
+
+    def _on_epoch_start(self, epoch: int) -> None:
+        pass
+
+    def train_step_on_batch(self, batch):
+        raise NotImplementedError
+
+    def eval_loss_on_batch(self, batch) -> float:
+        raise NotImplementedError
+
+    def train_epoch(
+        self, batches: Iterable, logger: Optional[MetricsLogger] = None
+    ) -> float:
+        # Loss accumulates ON DEVICE; host sync happens only at log points,
+        # so steps pipeline through JAX's async dispatch.
+        total, n = None, 0
+        for batch in batches:
+            metrics = self.train_step_on_batch(batch)
+            total = metrics["loss"] if total is None else total + metrics["loss"]
+            n += 1
+            if logger and n % logger.print_every == 0:
+                logger.log(
+                    int(self.state.step),
+                    {k: float(v) for k, v in metrics.items() if k != "loss"}
+                    | {"train_loss": float(metrics["loss"])},
+                )
+        return float(total) / n if n else 0.0
+
+    def validate(self, batches: Iterable) -> float:
+        total, n = 0.0, 0
+        for batch in batches:
+            total += self.eval_loss_on_batch(batch)
+            n += 1
+        return total / max(n, 1)
+
+    def fit(
+        self,
+        train_pipeline,
+        val_pipeline=None,
+        checkpoints: Optional[CheckpointManager] = None,
+        logger: Optional[MetricsLogger] = None,
+        start_epoch: int = 0,
+    ) -> Dict[str, list]:
+        history: Dict[str, list] = {"train_loss": [], "val_loss": []}
+        try:
+            for epoch in range(start_epoch, self._num_epochs()):
+                self._on_epoch_start(epoch)
+                train_loss = self.train_epoch(train_pipeline.epoch(epoch), logger)
+                history["train_loss"].append(train_loss)
+                val_loss = (
+                    self.validate(val_pipeline.epoch(epoch))
+                    if val_pipeline is not None
+                    else train_loss
+                )
+                history["val_loss"].append(val_loss)
+                print(
+                    f"Epoch {epoch}: train_loss={train_loss:.4f} val_loss={val_loss:.4f}"
+                )
+                if checkpoints is not None:
+                    checkpoints.save(
+                        self.state,
+                        step=int(self.state.step),
+                        epoch=epoch,
+                        metrics={"train_loss": train_loss, "val_loss": val_loss},
+                    )
+        except KeyboardInterrupt:
+            if checkpoints is not None:
+                checkpoints.save_interrupt(self.state, int(self.state.step), "interrupt")
+            raise
+        except Exception:
+            if checkpoints is not None:
+                checkpoints.save_interrupt(self.state, int(self.state.step), "error")
+            raise
+        return history
+
+    def _prepare_resume(self, saved_epoch: int) -> None:
+        """Hook: align mutable trainer structure (optimizer masks etc.) with
+        the state at checkpoint-save time before restoring into it."""
+
+    def resume(self, checkpoints: CheckpointManager) -> int:
+        entry = checkpoints.latest()
+        if entry is None:
+            return 0
+        saved_epoch = entry.get("epoch") or 0
+        self._prepare_resume(saved_epoch)
+        state, _ = checkpoints.restore_latest_or_none(jax.device_get(self.state))
+        self.state = replicate_tree(state, self.mesh)
+        return saved_epoch + 1

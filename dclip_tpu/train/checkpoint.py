@@ -121,7 +121,17 @@ class CheckpointManager:
         return path
 
     def save_interrupt(self, state: Any, step: int, kind: str = "interrupt") -> str:
-        """`.interrupt` / `.error` checkpoints (reference :404-420)."""
+        """`.interrupt` / `.error` checkpoints (reference :404-420).
+
+        Only the most recent checkpoint per tag is retained — preemption-
+        heavy runs would otherwise leak a full model per interruption."""
+        keep, dropped = [], []
+        for e in self._index:
+            (dropped if e.get("tag") == kind else keep).append(e)
+        for e in dropped:
+            if os.path.exists(e["path"]):
+                os.unlink(e["path"])
+        self._index = keep
         return self.save(state, step, tag=kind)
 
     def _retain(self) -> None:

@@ -39,7 +39,7 @@ from dclip_tpu.models.teacher import (
 )
 from dclip_tpu.ops.losses import distillation_loss
 from dclip_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
-from dclip_tpu.train.checkpoint import CheckpointManager
+from dclip_tpu.train.base import BaseTrainer
 from dclip_tpu.train.optim import (
     TrainState,
     count_trainable,
@@ -97,14 +97,15 @@ class TeacherTargetCache:
 
         rows = []
         for k in keys:
-            if k in self._mem:
-                rows.append(self._mem[k])
-            elif self._store is not None:
+            if self._store is not None:
+                # The mmap store IS the cache; duplicating every row into
+                # _mem would grow host RSS without bound at corpus scale.
                 arr = self._store.get_array(k)
                 if arr is None:
                     return None
-                self._mem[k] = arr
                 rows.append(arr)
+            elif k in self._mem:
+                rows.append(self._mem[k])
             else:
                 return None
         return np.stack(rows)
@@ -114,12 +115,13 @@ class TeacherTargetCache:
 
         targets = np.asarray(targets)
         for k, row in zip(keys, targets):
-            self._mem[k] = row
             if self._store is not None:
                 self._store.put_array(k, row)
                 self._puts += 1
                 if self._puts % self.sync_every == 0:
                     self._store.sync()
+            else:
+                self._mem[k] = row
 
     def close(self) -> None:
         if self._store is not None:
@@ -128,7 +130,7 @@ class TeacherTargetCache:
             self._store = None
 
 
-class DistillTrainer:
+class DistillTrainer(BaseTrainer):
     def __init__(
         self,
         cfg: DistillConfig,
@@ -337,14 +339,6 @@ class DistillTrainer:
     # holds the teacher side — they are most of the batch bytes.
     _STUDENT_FIELDS = ("pixel_values", "input_ids", "attention_mask")
 
-    def _device_batch(self, batch, fields=None) -> Dict[str, jnp.ndarray]:
-        d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
-        return {
-            k: jax.device_put(v, self._batch_sharding)
-            for k, v in d.items()
-            if k != "index" and (fields is None or k in fields)
-        }
-
     def _get_teacher_targets(self, raw_batch, device_batch, keys=None,
                              probe_full=True):
         """Teacher targets with a two-level cache.
@@ -422,36 +416,6 @@ class DistillTrainer:
             )
         return metrics
 
-    def train_epoch(self, batches: Iterable, logger: Optional[MetricsLogger] = None) -> float:
-        # Loss accumulates ON DEVICE; host sync happens only at log points,
-        # so steps pipeline through JAX's async dispatch instead of stalling
-        # on a float() every iteration.
-        total, n = None, 0
-        for batch in batches:
-            metrics = self.train_step_on_batch(batch)
-            total = metrics["loss"] if total is None else total + metrics["loss"]
-            n += 1
-            if logger and n % logger.print_every == 0:
-                logger.log(
-                    int(self.state.step),
-                    {k: float(v) for k, v in metrics.items()
-                     if k != "loss"} | {"train_loss": float(metrics["loss"])},
-                )
-        return float(total) / n if n else 0.0
-
-    def validate(self, batches: Iterable) -> float:
-        total, n = 0.0, 0
-        for batch in batches:
-            loss, _ = self._eval_loss(
-                self.state.params,
-                self.teacher_clip_variables,
-                self.teacher_params,
-                self._device_batch(batch),
-            )
-            total += float(loss)
-            n += 1
-        return total / max(n, 1)
-
     def _maybe_unfreeze(self, epoch: int) -> None:
         """Explicit progressive-unfreeze (reference intended :723-763)."""
         new = tuple(
@@ -476,51 +440,26 @@ class DistillTrainer:
                 self._student_loss, self.tx, donate=False
             )
 
-    def fit(
-        self,
-        train_pipeline,
-        val_pipeline=None,
-        checkpoints: Optional[CheckpointManager] = None,
-        logger: Optional[MetricsLogger] = None,
-        start_epoch: int = 0,
-    ) -> Dict[str, list]:
-        history: Dict[str, list] = {"train_loss": [], "val_loss": []}
-        try:
-            for epoch in range(start_epoch, self.cfg.phase1_epochs):
-                self._maybe_unfreeze(epoch)
-                train_loss = self.train_epoch(train_pipeline.epoch(epoch), logger)
-                history["train_loss"].append(train_loss)
-                val_loss = (
-                    self.validate(val_pipeline.epoch(epoch))
-                    if val_pipeline is not None
-                    else train_loss
-                )
-                history["val_loss"].append(val_loss)
-                print(
-                    f"Epoch {epoch}: train_loss={train_loss:.4f} val_loss={val_loss:.4f}"
-                )
-                if checkpoints is not None:
-                    checkpoints.save(
-                        self.state,
-                        step=int(self.state.step),
-                        epoch=epoch,
-                        metrics={"train_loss": train_loss, "val_loss": val_loss},
-                    )
-        except KeyboardInterrupt:
-            if checkpoints is not None:
-                checkpoints.save_interrupt(self.state, int(self.state.step), "interrupt")
-            raise
-        except Exception:
-            if checkpoints is not None:
-                checkpoints.save_interrupt(self.state, int(self.state.step), "error")
-            raise
-        return history
+    # -- BaseTrainer hooks --------------------------------------------------------
 
-    def resume(self, checkpoints: CheckpointManager) -> int:
-        restored = checkpoints.restore_latest_or_none(jax.device_get(self.state))
-        if restored is None:
-            return 0
-        state, _ = restored
-        self.state = replicate_tree(state, self.mesh)
-        entry = checkpoints.latest()
-        return (entry.get("epoch") or 0) + 1 if entry else 0
+    def _num_epochs(self) -> int:
+        return self.cfg.phase1_epochs
+
+    def _on_epoch_start(self, epoch: int) -> None:
+        self._maybe_unfreeze(epoch)
+
+    def eval_loss_on_batch(self, batch) -> float:
+        loss, _ = self._eval_loss(
+            self.state.params,
+            self.teacher_clip_variables,
+            self.teacher_params,
+            self._device_batch(batch),
+        )
+        return float(loss)
+
+    def _prepare_resume(self, saved_epoch: int) -> None:
+        # The checkpoint's opt_state structure reflects the unfreeze stage
+        # active when it was SAVED; replay the schedule to that epoch so the
+        # restore template's pytree matches (MaskedNode placement changes
+        # with the mask).
+        self._maybe_unfreeze(saved_epoch)

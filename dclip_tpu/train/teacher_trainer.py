@@ -35,7 +35,7 @@ from dclip_tpu.models.teacher import (
 )
 from dclip_tpu.ops.losses import info_nce
 from dclip_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
-from dclip_tpu.train.checkpoint import CheckpointManager
+from dclip_tpu.train.base import BaseTrainer
 from dclip_tpu.train.optim import (
     TrainState,
     count_trainable,
@@ -51,7 +51,7 @@ def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x * mask[..., None], axis=1) / denom
 
 
-class TeacherTrainer:
+class TeacherTrainer(BaseTrainer):
     def __init__(
         self,
         cfg: TeacherTrainConfig,
@@ -150,93 +150,23 @@ class TeacherTrainer:
         loss = info_nce(out.global_embedding, text_embeddings, self.cfg.temperature)
         return loss, {"loss": loss, "contrastive_loss": loss}
 
-    # -- loops ------------------------------------------------------------------
+    # -- BaseTrainer hooks --------------------------------------------------------
 
-    def _device_batch(self, batch) -> Dict[str, jnp.ndarray]:
-        d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
-        return {
-            k: jax.device_put(v, self._batch_sharding)
-            for k, v in d.items()
-            if k != "index"
-        }
+    def _num_epochs(self) -> int:
+        return self.cfg.epochs
 
-    def train_epoch(self, batches: Iterable, logger: Optional[MetricsLogger] = None) -> float:
-        # Device-side loss accumulation; host sync only at log points so
-        # steps pipeline through async dispatch.
-        total, n = None, 0
-        for batch in batches:
-            with trace_span("teacher_train_step"):
-                self.state, metrics = self._train_step(
-                    self.state, self.clip_variables, self._device_batch(batch)
-                )
-            total = metrics["loss"] if total is None else total + metrics["loss"]
-            n += 1
-            if logger and n % logger.print_every == 0:
-                logger.log(int(self.state.step), {"train_loss": float(metrics["loss"])})
-        return float(total) / n if n else 0.0
-
-    def validate(self, batches: Iterable) -> float:
-        total, n = 0.0, 0
-        for batch in batches:
-            loss, _ = self._eval_loss(
-                self.state.params, self.clip_variables, self._device_batch(batch)
+    def train_step_on_batch(self, batch):
+        with trace_span("teacher_train_step"):
+            self.state, metrics = self._train_step(
+                self.state, self.clip_variables, self._device_batch(batch)
             )
-            total += float(loss)
-            n += 1
-        return total / max(n, 1)
+        return metrics
 
-    def fit(
-        self,
-        train_pipeline,
-        val_pipeline=None,
-        checkpoints: Optional[CheckpointManager] = None,
-        logger: Optional[MetricsLogger] = None,
-        start_epoch: int = 0,
-    ) -> Dict[str, list]:
-        history: Dict[str, list] = {"train_loss": [], "val_loss": []}
-        try:
-            for epoch in range(start_epoch, self.cfg.epochs):
-                train_loss = self.train_epoch(train_pipeline.epoch(epoch), logger)
-                history["train_loss"].append(train_loss)
-                val_loss = (
-                    self.validate(val_pipeline.epoch(epoch))
-                    if val_pipeline is not None
-                    else train_loss
-                )
-                history["val_loss"].append(val_loss)
-                print(
-                    f"Epoch {epoch}: train_loss={train_loss:.4f} val_loss={val_loss:.4f}"
-                )
-                if checkpoints is not None:
-                    checkpoints.save(
-                        self.state,
-                        step=int(self.state.step),
-                        epoch=epoch,
-                        metrics={"val_loss": val_loss, "train_loss": train_loss},
-                    )
-        except KeyboardInterrupt:
-            if checkpoints is not None:
-                checkpoints.save_interrupt(self.state, int(self.state.step), "interrupt")
-            raise
-        except Exception:
-            if checkpoints is not None:
-                checkpoints.save_interrupt(self.state, int(self.state.step), "error")
-            raise
-        return history
-
-    # -- resume --------------------------------------------------------------------
-
-    def resume(self, checkpoints: CheckpointManager) -> int:
-        """Restore latest checkpoint; returns the epoch to resume from."""
-        restored = checkpoints.restore_latest_or_none(
-            jax.device_get(self.state)
+    def eval_loss_on_batch(self, batch) -> float:
+        loss, _ = self._eval_loss(
+            self.state.params, self.clip_variables, self._device_batch(batch)
         )
-        if restored is None:
-            return 0
-        state, _ = restored
-        self.state = replicate_tree(state, self.mesh)
-        entry = checkpoints.latest()
-        return (entry.get("epoch") or 0) + 1 if entry else 0
+        return float(loss)
 
 
 def teacher_config_summary(cfg: TeacherTrainConfig) -> str:

@@ -276,3 +276,15 @@ def test_preprocess_matches_hf_clip_processor(tmp_path):
     want = hf(im, return_tensors="np")["pixel_values"][0].transpose(1, 2, 0)
     got = preprocess_image(im, 224)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pipeline_producer_errors_propagate(tiny_corpus):
+    """A broken record must raise in the consumer, not silently truncate."""
+    broken = list(tiny_corpus) + [{"captions": ["no image_path key"]}]
+    pipe = MultiModalPipeline(
+        broken, HashTokenizer(max_length=8), None,
+        batch_size=3, max_patches=2, image_size=16, teacher_image_size=16,
+        shuffle=False, drop_remainder=True, num_threads=2,
+    )
+    with pytest.raises(KeyError):
+        list(pipe.epoch(0))

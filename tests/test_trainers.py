@@ -336,3 +336,33 @@ def test_patch_embed_cache_survives_caption_change(distill_setup, cpu_mesh):
     w_img, w_txt = trainer2._get_teacher_targets(batch2, trainer2._device_batch(batch2))
     np.testing.assert_allclose(np.asarray(t_img), np.asarray(w_img), atol=1e-5)
     np.testing.assert_allclose(np.asarray(t_txt), np.asarray(w_txt), atol=1e-5)
+
+
+def test_distill_resume_after_unfreeze(distill_setup, cpu_mesh, tmp_path):
+    """Resume must replay the unfreeze schedule so the opt_state template
+    matches a checkpoint saved after a stage boundary."""
+    import dataclasses
+
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    cfg2 = dataclasses.replace(
+        cfg,
+        phase1_epochs=2,
+        unfreeze_schedule=(UnfreezeStage(epoch=1, patterns=("mlp",)),),
+    )
+    trainer = DistillTrainer(
+        cfg2, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=cpu_mesh
+    )
+    pipe = FakePipeline(clip_cfg, 1)
+    ckpts = CheckpointManager(str(tmp_path), monitor="train_loss")
+    trainer.fit(pipe, checkpoints=ckpts)  # saves epoch 0 AND epoch 1 (post-unfreeze)
+    saved = jax.device_get(trainer.state.params)
+
+    trainer2 = DistillTrainer(
+        cfg2, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=cpu_mesh
+    )
+    start = trainer2.resume(ckpts)
+    assert start == 2
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b),
+        saved, jax.device_get(trainer2.state.params),
+    )
