@@ -109,6 +109,14 @@ def main(argv=None) -> int:
     student_cfg, _, student_vars = load_clip(student_preset, student_weights, args.seed)
     tokenizer = load_tokenizer(args.tokenizer_dir, student_cfg.text.max_length)
 
+    if student_cfg.projection_dim != teacher_clip_cfg.projection_dim:
+        raise SystemExit(
+            f"student preset '{student_preset}' (projection_dim "
+            f"{student_cfg.projection_dim}) is width-incompatible with the "
+            f"teacher CLIP '{args.model_preset}' (projection_dim "
+            f"{teacher_clip_cfg.projection_dim}); the cosine distillation "
+            "loss requires matching widths — pick matching presets"
+        )
     teacher_cfg = TeacherConfig(
         embed_dim=teacher_clip_cfg.projection_dim,
         max_patches=args.max_patches,

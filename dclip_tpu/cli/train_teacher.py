@@ -60,9 +60,20 @@ def main(argv=None) -> int:
     clip_cfg, _, clip_vars = load_clip(args.model_preset, args.clip_weights, args.seed)
     tokenizer = load_tokenizer(args.tokenizer_dir, clip_cfg.text.max_length)
 
+    # Reference derives val from train via "_train" -> "_val" (:218); only
+    # apply the substitution to the basename, and never let it silently
+    # alias the training set.
+    val_file = args.val_file
+    if val_file is None:
+        d, base = os.path.split(args.train_file)
+        if "_train" in base:
+            val_file = os.path.join(d, base.replace("_train", "_val"))
+        else:
+            print("No --val_file and train_file lacks '_train'; validation disabled")
+            val_file = ""
     cfg = TeacherTrainConfig(
         train_file=args.train_file,
-        val_file=args.val_file or args.train_file.replace("_train", "_val"),
+        val_file=val_file,
         epochs=args.epochs,
         batch_size=args.batch_size,
         gradient_accumulation=args.gradient_accumulation,
@@ -103,7 +114,11 @@ def main(argv=None) -> int:
         )
 
     train_pipe = pipeline_for(cfg.train_file)
-    val_pipe = pipeline_for(cfg.val_file) if os.path.exists(cfg.val_file) else None
+    val_pipe = (
+        pipeline_for(cfg.val_file)
+        if cfg.val_file and os.path.exists(cfg.val_file)
+        else None
+    )
     print(f"Training set size: {len(train_pipe.items)} samples")
     if val_pipe:
         print(f"Validation set size: {len(val_pipe.items)} samples")

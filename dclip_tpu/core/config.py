@@ -321,6 +321,18 @@ def _build(cls, data: dict):
         ftype = hints.get(f.name, f.type)
         if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
             v = _build(ftype, v)
+        else:
+            # Sequence[SomeDataclass] fields (e.g. unfreeze_schedule):
+            # rebuild each element, not just top-level dataclass fields.
+            args = typing.get_args(ftype)
+            if (
+                args
+                and dataclasses.is_dataclass(args[0])
+                and isinstance(v, (list, tuple))
+            ):
+                v = tuple(
+                    _build(args[0], e) if isinstance(e, dict) else e for e in v
+                )
         kwargs[f.name] = v
     return cls(**kwargs)
 

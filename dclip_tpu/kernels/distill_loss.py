@@ -201,9 +201,13 @@ def fused_distillation_loss(
     """Drop-in twin of `dclip_tpu.ops.losses.distillation_loss`.
 
     Falls back to the XLA implementation when the batch exceeds the VMEM
-    bound (B > 1024).
+    bound (B > 1024) or when the default backend is not a TPU and interpret
+    mode was not requested (compiled Pallas is TPU-only).
     """
-    if student_image.shape[0] > MAX_FUSED_BATCH:
+    import jax as _jax
+
+    on_tpu = _jax.default_backend() in ("tpu", "axon")
+    if student_image.shape[0] > MAX_FUSED_BATCH or (not on_tpu and not interpret):
         from dclip_tpu.ops.losses import distillation_loss
 
         return distillation_loss(

@@ -224,7 +224,9 @@ def postprocess(
     top_scores, top = jax.lax.top_k(cls_score, k)
 
     def one(boxes_i, top_i, top_scores_i, cls_i):
-        cand_boxes = boxes_i[top_i]
+        # Clip to the frame (ultralytics clip_boxes contract): DFL decode
+        # can place edges up to reg_max*stride outside the image.
+        cand_boxes = jnp.clip(boxes_i[top_i], 0.0, float(cfg.image_size))
         cand_cls = cls_i[top_i]
         res = batched_class_nms(
             cand_boxes,
@@ -233,6 +235,8 @@ def postprocess(
             cfg.iou_threshold,
             cfg.score_threshold,
             cfg.max_detections,
+            # Offset must exceed any clipped coordinate or classes collide.
+            class_offset=float(cfg.image_size) + 512.0,
         )
         safe = jnp.maximum(res.indices, 0)
         return res.boxes, res.scores, cand_cls[safe] * res.mask.astype(

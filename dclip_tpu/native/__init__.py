@@ -69,6 +69,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.dcs_key_at.argtypes = [
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64
         ]
+        lib.dcs_keys_dump.restype = ctypes.c_int64
+        lib.dcs_keys_dump.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64
+        ]
         lib.dcs_close.restype = None
         lib.dcs_close.argtypes = [ctypes.c_void_p]
         lib.dcs_topk_ip.restype = None
@@ -129,16 +133,22 @@ class NativeKVStore:
         return self._lib.dcs_get(self._h, kb, len(kb), None, 0) >= 0
 
     def keys(self) -> List[str]:
+        """All keys via one bulk native call (O(n); the per-index iterator
+        would be O(n^2) across a full enumeration)."""
+        size = self._lib.dcs_keys_dump(self._h, None, 0)
+        if size <= 0:
+            return []
+        buf = ctypes.create_string_buffer(int(size))
+        self._lib.dcs_keys_dump(self._h, buf, size)
         out = []
-        i = 0
-        while True:
-            n = self._lib.dcs_key_at(self._h, i, None, 0)
-            if n < 0:
-                break
-            buf = ctypes.create_string_buffer(int(n))
-            self._lib.dcs_key_at(self._h, i, buf, n)
-            out.append(buf.raw.decode())
-            i += 1
+        raw = buf.raw
+        off = 0
+        import struct
+
+        while off + 4 <= size:
+            (kl,) = struct.unpack_from("<I", raw, off)
+            out.append(raw[off + 4 : off + 4 + kl].decode())
+            off += 4 + kl
         return out
 
     def sync(self) -> None:

@@ -261,6 +261,31 @@ int64_t dcs_get(void* handle, const char* key, uint64_t key_len,
   return -1;
 }
 
+// Dump ALL keys in one call as [u32 len][key bytes]* records. Returns the
+// total byte size (call with out=null to size the buffer). O(n) — the
+// per-index dcs_key_at advances a hashtable iterator from begin each call
+// and is O(n^2) for a full enumeration; use this for bulk listing.
+int64_t dcs_keys_dump(void* handle, char* out, uint64_t cap) {
+  auto* s = static_cast<Store*>(handle);
+  std::lock_guard<std::mutex> lock(s->mu);
+  s->ensure_visible(s->data_end);
+  uint64_t total = 0;
+  uint64_t written = 0;
+  for (const auto& kv : s->index) {
+    uint32_t kl;
+    uint64_t vl;
+    const char* k;
+    if (!s->record_at(kv.second, &kl, &k, &vl)) continue;
+    total += 4 + kl;
+    if (out && written + 4 + kl <= cap) {
+      std::memcpy(out + written, &kl, 4);
+      std::memcpy(out + written + 4, k, kl);
+      written += 4 + kl;
+    }
+  }
+  return static_cast<int64_t>(total);
+}
+
 // Iterate keys: writes the i-th key into out (cap bytes), returns key length
 // or -1 when i is out of range. Order is unspecified but stable per open.
 int64_t dcs_key_at(void* handle, uint64_t i, char* out, uint64_t cap) {

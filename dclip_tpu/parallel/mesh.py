@@ -28,8 +28,12 @@ def make_mesh(
     n = len(devices)
     mp = max(cfg.model_parallel, 1)
     dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
-    if dp * mp > n:
-        raise ValueError(f"mesh {dp}x{mp} needs {dp*mp} devices, have {n}")
+    if dp < 1 or dp * mp > n:
+        raise ValueError(
+            f"mesh {dp}x{mp} needs {max(dp, 1) * mp} devices, have {n}"
+        )
+    if cfg.data_parallel <= 0 and dp * mp < n:
+        print(f"make_mesh: using {dp * mp} of {n} devices ({dp}x{mp})")
     grid = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(grid, (cfg.data_axis, cfg.model_axis))
 
