@@ -238,6 +238,8 @@ class DistillConfig:
     eval_batch_size: int = 32
     learning_rate: float = 2e-5  # AdamW (reference :679-682, default :717)
     warmup_steps: int = 0
+    # Parsed for CLI parity; the reference also accepts --total_steps
+    # (:715-717) without consuming it beyond the warmup scheduler.
     total_steps: int = 1000
     phase1_epochs: int = 2  # README.md:59 "2 epochs to prevent 0 shot decay"
     checkpoint_dir: str = "checkpoints"
