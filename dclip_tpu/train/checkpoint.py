@@ -59,6 +59,7 @@ class CheckpointManager:
         save_top_k: int = 10,
         monitor: str = "val_loss",
         mode: str = "min",
+        async_writes: bool = False,
     ):
         self.directory = directory
         self.prefix = prefix
@@ -68,6 +69,15 @@ class CheckpointManager:
         os.makedirs(directory, exist_ok=True)
         self._index: List[Dict] = []
         self._load_index()
+        # Async mode: serialization happens synchronously (a host copy of
+        # the state), the disk write overlaps the next training epoch.
+        self.async_writes = async_writes
+        self._executor = None
+        self._pending: List = []
+        if async_writes:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._executor = ThreadPoolExecutor(max_workers=1)
 
     # -- index -----------------------------------------------------------------
 
@@ -105,7 +115,16 @@ class CheckpointManager:
             name += f".{tag}"
         name += f".step{step}.msgpack"
         path = os.path.join(self.directory, name)
-        save_state(path, state)
+        if self._executor is not None:
+            # At most one outstanding write: prior files must exist before
+            # retention runs, and one epoch is ample time to land a write.
+            self.wait()
+            data = flax.serialization.to_bytes(state)
+            self._pending.append(
+                self._executor.submit(_atomic_write, path, data)
+            )
+        else:
+            save_state(path, state)
         self._index.append(
             {
                 "path": path,
@@ -158,6 +177,13 @@ class CheckpointManager:
             elif os.path.exists(e["path"]):
                 os.unlink(e["path"])
         self._index = new_index
+
+    def wait(self) -> None:
+        """Block until queued async writes land (call before reading files
+        back or at shutdown)."""
+        for fut in self._pending:
+            fut.result()
+        self._pending.clear()
 
     # -- query / restore ---------------------------------------------------------
 

@@ -133,3 +133,15 @@ def test_checkpoint_interrupt_tag_never_pruned(tmp_path):
 
     tagged = [e for e in mgr._index if e.get("tag") == "error"]
     assert len(tagged) == 1 and os.path.exists(tagged[0]["path"])
+
+
+def test_checkpoint_async_writes(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), save_top_k=0, async_writes=True)
+    state = {"w": jnp.arange(6.0)}
+    for e in range(3):
+        mgr.save(state, step=e, epoch=e, metrics={"val_loss": 1.0 - e * 0.1})
+    mgr.wait()
+    mgr2 = CheckpointManager(str(tmp_path))
+    restored, step = mgr2.restore_latest_or_none({"w": jnp.zeros(6)})
+    assert step == 2
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.arange(6.0))
