@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", action="store_true",
                    help="fused Pallas kernels on the hot path")
+    p.add_argument("--compact_patches", action="store_true",
+                   help="teacher region-encode runs only over valid patch "
+                        "slots (bucketed crop compaction)")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint encoder layers (memory for FLOPs)")
     p.add_argument("--resume", action="store_true")
@@ -142,6 +145,7 @@ def main(argv=None) -> int:
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
         remat=args.remat,
+        compact_patches=args.compact_patches,
     )
 
     teacher_params = load_teacher_params(

@@ -268,6 +268,10 @@ class DistillConfig:
     # cross-attention for the frozen teacher targets and the fused
     # distillation loss (custom VJP). XLA paths remain the default.
     use_pallas: bool = False
+    # Crop compaction: run the teacher's region-encode ViT over only the
+    # valid patch slots (bucketed, max ~4 compiled variants). Big win when
+    # detections average well below max_patches.
+    compact_patches: bool = False
 
 
 @dataclass(frozen=True)

@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dclip_tpu.core.config import TeacherConfig
@@ -128,6 +129,61 @@ def encode_patches(
         clip_variables, flat, method=clip_model.get_image_features
     ).reshape(b, p, -1)
     return emb * patch_mask[..., None]
+
+
+def encode_patches_compact(
+    clip_model: CLIPModule,
+    clip_variables: Dict[str, Any],
+    images: jnp.ndarray,  # [B, H, W, 3] in [0, 1]
+    boxes: jnp.ndarray,  # [B, P, 4]
+    patch_mask: jnp.ndarray,  # [B, P]
+    patch_size: int = 224,
+    budget: int = 0,
+) -> jnp.ndarray:
+    """`encode_patches` that runs the ViT over only `budget` patch slots.
+
+    Real batches rarely fill every [B, P] slot (detections average well
+    below max_patches); the dense version burns a full ViT forward per
+    padded slot. Here valid slots are gathered to the front (stable
+    argsort on the mask), exactly `budget` crops are encoded, and results
+    scatter back into the zero-padded [B, P, D] layout. Bitwise-equal to
+    `encode_patches` whenever budget >= valid count (tests pin this).
+
+    `budget` must be static (callers pick from a small bucket set so at
+    most a handful of variants compile).
+    """
+    from dclip_tpu.ops.image_ops import crop_resize, normalize
+
+    b, p = boxes.shape[:2]
+    if budget <= 0 or budget >= b * p:
+        return encode_patches(
+            clip_model, clip_variables, images, boxes, patch_mask, patch_size
+        )
+    flat_mask = patch_mask.reshape(-1)
+    order = jnp.argsort(-flat_mask)  # valid slots first, stable
+    sel = order[:budget]
+    img_idx = sel // p
+    sel_boxes = boxes.reshape(-1, 4)[sel]
+    crops = jax.vmap(crop_resize, in_axes=(0, 0, None))(
+        images[img_idx], sel_boxes, patch_size
+    )
+    emb = clip_model.apply(
+        clip_variables, normalize(crops), method=clip_model.get_image_features
+    )
+    d = emb.shape[-1]
+    emb = emb * flat_mask[sel][:, None]
+    out = jnp.zeros((b * p, d), emb.dtype).at[sel].set(emb)
+    return out.reshape(b, p, d)
+
+
+def patch_budget(valid_count: int, total_slots: int, n_buckets: int = 4) -> int:
+    """Smallest bucket (multiples of total/n_buckets) covering valid_count.
+
+    Bounded bucket set -> bounded recompiles; returns total_slots when the
+    batch is full (dense path)."""
+    step = max(total_slots // n_buckets, 1)
+    bucket = ((max(valid_count, 1) + step - 1) // step) * step
+    return min(bucket, total_slots)
 
 
 def encode_tokens(

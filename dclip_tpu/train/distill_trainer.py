@@ -35,7 +35,9 @@ from dclip_tpu.models.clip import CLIPModule
 from dclip_tpu.models.teacher import (
     PatchTextAggregation,
     encode_patches,
+    encode_patches_compact,
     encode_tokens,
+    patch_budget,
 )
 from dclip_tpu.ops.losses import distillation_loss
 from dclip_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
@@ -182,6 +184,7 @@ class DistillTrainer(BaseTrainer):
         self._pallas_interpret = self.mesh.devices.flat[0].platform != "tpu"
         self._teacher_step = jax.jit(self._teacher_targets)
         self._patch_encode_step = jax.jit(self._encode_patches_only)
+        self._patch_encode_compact_steps: Dict[int, Any] = {}
         self._teacher_tail_step = jax.jit(self._teacher_tail)
         self._train_step = make_train_step(self._student_loss, self.tx, donate=False)
         self._eval_loss = jax.jit(self._loss)
@@ -284,6 +287,37 @@ class DistillTrainer(BaseTrainer):
         pe = self._encode_patches_only(teacher_clip_variables, batch)
         return self._teacher_tail(teacher_clip_variables, teacher_params, pe, batch)
 
+    def _encode_patches_budgeted(self, raw_batch, device_batch):
+        """Patch encode with crop compaction: only ~valid-count crops run
+        through the ViT (bucketed so at most a few variants compile).
+        Enabled by cfg.compact_patches; dense otherwise or when the batch
+        is full."""
+        if not self.cfg.compact_patches:
+            return self._patch_encode_step(self.teacher_clip_variables, device_batch)
+        import numpy as np
+
+        d = raw_batch.as_dict() if hasattr(raw_batch, "as_dict") else raw_batch
+        mask = np.asarray(d["box_mask"])
+        budget = patch_budget(int(mask.sum()), mask.size)
+        if budget >= mask.size:
+            return self._patch_encode_step(self.teacher_clip_variables, device_batch)
+        step = self._patch_encode_compact_steps.get(budget)
+        if step is None:
+            def _compact(variables, batch, _budget=budget):
+                return encode_patches_compact(
+                    self.teacher_clip,
+                    variables,
+                    batch["teacher_pixels"],
+                    batch["boxes"],
+                    batch["box_mask"],
+                    patch_size=self.teacher_clip_config.vision.image_size,
+                    budget=_budget,
+                )
+
+            step = jax.jit(_compact)
+            self._patch_encode_compact_steps[budget] = step
+        return step(self.teacher_clip_variables, device_batch)
+
     # -- loss ------------------------------------------------------------------------
 
     def _student_loss(self, params, teacher_img, teacher_txt, batch):
@@ -374,7 +408,7 @@ class DistillTrainer(BaseTrainer):
                 if cached_pe is not None:
                     pe = jax.device_put(jnp.asarray(cached_pe), self._batch_sharding)
             if pe is None:
-                pe = self._patch_encode_step(self.teacher_clip_variables, device_batch)
+                pe = self._encode_patches_budgeted(raw_batch, device_batch)
                 if patch_keys is not None:
                     self.teacher_cache.put_batch(patch_keys, np.asarray(pe))
             teacher_img, teacher_txt = self._teacher_tail_step(

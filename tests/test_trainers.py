@@ -366,3 +366,39 @@ def test_distill_resume_after_unfreeze(distill_setup, cpu_mesh, tmp_path):
         lambda a, b: np.testing.assert_allclose(a, b),
         saved, jax.device_get(trainer2.state.params),
     )
+
+
+def test_compact_patch_encode_matches_dense(distill_setup, cpu_mesh):
+    """Crop compaction is bitwise-equal to dense encode when masked."""
+    import dataclasses
+
+    from dclip_tpu.models.teacher import patch_budget
+
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    cfg2 = dataclasses.replace(cfg, compact_patches=True)
+    trainer = DistillTrainer(
+        cfg2, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=cpu_mesh
+    )
+    batch = FakePipeline(clip_cfg, 1, seed=3).batches[0]
+    # Force a sparse mask so a sub-full bucket is selected.
+    sparse = batch.box_mask.copy()
+    sparse[:, 1:] = 0.0
+    import dataclasses as dc
+
+    batch = dc.replace(batch, box_mask=sparse)
+    dev = trainer._device_batch(batch)
+    pe_compact = trainer._encode_patches_budgeted(batch, dev)
+    pe_dense = trainer._patch_encode_step(trainer.teacher_clip_variables, dev)
+    assert patch_budget(int(sparse.sum()), sparse.size) < sparse.size
+    np.testing.assert_allclose(
+        np.asarray(pe_compact), np.asarray(pe_dense), atol=1e-5
+    )
+    # Full mask routes through the dense path (same jit), still equal.
+    full = FakePipeline(clip_cfg, 1, seed=3).batches[0]
+    full = dc.replace(full, box_mask=np.ones_like(full.box_mask))
+    devf = trainer._device_batch(full)
+    np.testing.assert_allclose(
+        np.asarray(trainer._encode_patches_budgeted(full, devf)),
+        np.asarray(trainer._patch_encode_step(trainer.teacher_clip_variables, devf)),
+        atol=1e-6,
+    )
