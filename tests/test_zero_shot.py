@@ -1,0 +1,102 @@
+"""Zero-shot eval helpers: folder iteration, zip extraction, formats,
+and the classification loop itself on a separable toy problem."""
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dclip_tpu.eval.zero_shot import (
+    ensure_extracted,
+    evaluate_zero_shot,
+    format_cifar_results,
+    format_imagenet_results,
+    iterate_image_folder,
+)
+
+
+def _folder(tmp_path, classes=("cat", "dog"), per_class=3):
+    from PIL import Image
+
+    root = tmp_path / "imagefolder"
+    rng = np.random.RandomState(0)
+    for c in classes:
+        (root / c).mkdir(parents=True)
+        for i in range(per_class):
+            Image.fromarray(
+                (rng.rand(20, 20, 3) * 255).astype("uint8")
+            ).save(root / c / f"{i}.jpg")
+    return str(root)
+
+
+def test_iterate_image_folder(tmp_path):
+    root = _folder(tmp_path)
+    classes, batches = iterate_image_folder(root, batch_size=4, image_size=16)
+    assert classes == ["cat", "dog"]  # sorted dirs = class order
+    all_labels = []
+    for pixels, labels in batches:
+        assert pixels.shape[1:] == (16, 16, 3)
+        all_labels.extend(labels.tolist())
+    assert sorted(all_labels) == [0, 0, 0, 1, 1, 1]
+
+
+def test_ensure_extracted_zip(tmp_path):
+    root = _folder(tmp_path)
+    zpath = str(tmp_path / "imagenet.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                full = os.path.join(dirpath, f)
+                z.write(full, os.path.relpath(full, os.path.dirname(root)))
+    out = ensure_extracted(zpath)
+    assert os.path.isdir(out)
+    classes, _ = iterate_image_folder(out, batch_size=2, image_size=16)
+    assert classes == ["cat", "dog"]
+    # Second call reuses the extraction.
+    assert ensure_extracted(zpath) == out
+    assert ensure_extracted(root) == root  # non-zip passthrough
+
+
+def test_evaluate_zero_shot_separable():
+    """A linear 'model' whose features equal the class text features must
+    score 100% top-1."""
+    from dclip_tpu.models.clip import CLIPModule
+
+    class FakeModel:
+        get_image_features = "unused-method-token"
+
+        def apply(self, variables, pixels, method=None):
+            # "image features" = mean pixel value -> one-hot-ish over 3 dims
+            return pixels.mean(axis=(1, 2))  # [B, 3]
+
+    text_features = jnp.eye(3)
+    rng = np.random.RandomState(1)
+    labels = rng.randint(0, 3, 30)
+    pixels = np.zeros((30, 4, 4, 3), np.float32)
+    for i, lab in enumerate(labels):
+        pixels[i, :, :, lab] = 1.0
+
+    def batches():
+        for s in range(0, 30, 8):
+            yield pixels[s : s + 8], labels[s : s + 8]
+
+    res = evaluate_zero_shot(FakeModel(), None, text_features, batches(),
+                             log_every=0)
+    assert res["top1"] == 1.0
+    assert res["total"] == 30
+    del CLIPModule
+
+
+def test_format_functions_reference_shapes():
+    base = {"top1": 0.9, "top5": 0.99}
+    custom = {"top1": 0.85, "top5": 0.98}
+    cifar = format_cifar_results(base, custom, base, custom)
+    assert cifar.startswith("Zero-Shot CIFAR Results")
+    assert "Base CLIP Top-1: 0.9000, Top-5: 0.9900" in cifar
+    assert "Relative Change: -5.56%" in cifar
+    imagenet = format_imagenet_results(custom, base)
+    assert "Custom Model Top-1: 0.8500" in imagenet
+    assert "Base CLIP Top-1: 0.9000" in imagenet
