@@ -131,6 +131,40 @@ def encode_patches(
     return emb * patch_mask[..., None]
 
 
+def encode_patches_with_context(
+    clip_model: CLIPModule,
+    clip_variables: Dict[str, Any],
+    images: jnp.ndarray,  # [B, H, W, 3] in [0, 1]
+    boxes: jnp.ndarray,  # [B, P, 4]
+    patch_mask: jnp.ndarray,  # [B, P]
+    patch_size: int = 224,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(patch_embeddings, context_embeddings), both [B, P, D].
+
+    The context view is the full frame with the box region blacked out
+    (reference encode_bounding_boxes_with_context,
+    image_tokenizer.py:126-164), squash-resized and encoded in the same
+    batched forward style as the patch view.
+    """
+    import jax.image
+
+    from dclip_tpu.ops.image_ops import black_out_boxes, normalize
+
+    b, p = boxes.shape[:2]
+    patch_emb = encode_patches(
+        clip_model, clip_variables, images, boxes, patch_mask, patch_size
+    )
+    context = black_out_boxes(images, boxes)  # [B, P, H, W, 3]
+    flat = context.reshape((b * p,) + context.shape[2:])
+    flat = jax.image.resize(
+        flat, (b * p, patch_size, patch_size, 3), "bilinear"
+    )
+    ctx_emb = clip_model.apply(
+        clip_variables, normalize(flat), method=clip_model.get_image_features
+    ).reshape(b, p, -1)
+    return patch_emb, ctx_emb * patch_mask[..., None]
+
+
 def encode_patches_compact(
     clip_model: CLIPModule,
     clip_variables: Dict[str, Any],

@@ -140,3 +140,35 @@ def test_import_torch_teacher_prefix_mapping():
 
     want = 0.5 * _torch_aggregation(at.numpy()) + 0.5 * _torch_aggregation(ai.numpy())
     np.testing.assert_allclose(np.asarray(out.global_embedding), want, atol=2e-5)
+
+
+def test_encode_patches_with_context():
+    """Context view = frame minus box; a box covering the whole frame makes
+    the context view black -> context embedding equals the all-black
+    embedding, while the patch embedding matches the plain crop encode."""
+    from dclip_tpu.core.config import CLIPConfig
+    from dclip_tpu.models.clip import CLIPModule
+    from dclip_tpu.models.teacher import encode_patches, encode_patches_with_context
+    from dclip_tpu.ops.image_ops import normalize
+
+    cfg = CLIPConfig.tiny_test()
+    clip = CLIPModule(cfg)
+    s = cfg.vision.image_size
+    variables = clip.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.text.max_length), jnp.int32),
+        jnp.zeros((1, s, s, 3)),
+    )
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, s, s, 3).astype(np.float32))
+    boxes = jnp.asarray([[[0.0, 0.0, float(s), float(s)], [4, 4, 12, 12]]])
+    mask = jnp.ones((1, 2))
+    pe, ce = encode_patches_with_context(clip, variables, images, boxes, mask, s)
+    assert pe.shape == ce.shape == (1, 2, cfg.projection_dim)
+    want_pe = encode_patches(clip, variables, images, boxes, mask, s)
+    np.testing.assert_allclose(np.asarray(pe), np.asarray(want_pe), atol=1e-6)
+    black = clip.apply(
+        variables, normalize(jnp.zeros((1, s, s, 3))),
+        method=clip.get_image_features,
+    )
+    np.testing.assert_allclose(np.asarray(ce[0, 0]), np.asarray(black[0]), atol=1e-4)
