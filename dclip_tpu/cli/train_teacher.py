@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", action="store_true",
                    help="fused Pallas kernels on the hot path")
+    p.add_argument("--compact_patches", action="store_true",
+                   help="region-encode only valid patch slots")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--metrics_csv", default=None)
     add_model_args(p)
@@ -89,6 +91,7 @@ def main(argv=None) -> int:
         mesh=mesh_config(args),
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
+        compact_patches=args.compact_patches,
     )
     print(teacher_config_summary(cfg))
 

@@ -201,6 +201,8 @@ class TeacherTrainConfig:
     # Route the cross-attention forward through the fused Pallas kernel
     # (backward = rematerialized XLA VJP, kernels.cross_attention_trainable).
     use_pallas: bool = False
+    # Crop compaction for the frozen region encode (see DistillConfig).
+    compact_patches: bool = False
 
 
 @dataclass(frozen=True)

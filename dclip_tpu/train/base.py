@@ -15,6 +15,65 @@ from dclip_tpu.parallel.mesh import replicate_tree
 from dclip_tpu.train.checkpoint import CheckpointManager
 
 
+def budgeted_patch_encode(
+    clip_model,
+    clip_config,
+    clip_variables,
+    raw_batch,
+    device_batch,
+    jit_cache: Dict[int, object],
+    compact: bool,
+):
+    """Patch-encode with optional crop compaction (shared by both trainers).
+
+    jit_cache maps budget -> compiled step (0 = dense); budgets come from a
+    4-bucket set so at most a handful of variants compile.
+    """
+    from dclip_tpu.models.teacher import (
+        encode_patches,
+        encode_patches_compact,
+        patch_budget,
+    )
+
+    def get_step(budget: int):
+        step = jit_cache.get(budget)
+        if step is None:
+            if budget <= 0:
+                def _dense(variables, batch):
+                    return encode_patches(
+                        clip_model, variables,
+                        batch["teacher_pixels"], batch["boxes"],
+                        batch["box_mask"],
+                        patch_size=clip_config.vision.image_size,
+                    )
+
+                step = jax.jit(_dense)
+            else:
+                def _compact(variables, batch, _budget=budget):
+                    return encode_patches_compact(
+                        clip_model, variables,
+                        batch["teacher_pixels"], batch["boxes"],
+                        batch["box_mask"],
+                        patch_size=clip_config.vision.image_size,
+                        budget=_budget,
+                    )
+
+                step = jax.jit(_compact)
+            jit_cache[budget] = step
+        return step
+
+    budget = 0
+    if compact:
+        import numpy as np
+
+        d = raw_batch.as_dict() if hasattr(raw_batch, "as_dict") else raw_batch
+        mask = np.asarray(d["box_mask"])
+        b = patch_budget(int(mask.sum()), mask.size)
+        if b < mask.size:
+            budget = b
+    return get_step(budget)(clip_variables, device_batch)
+
+
 class BaseTrainer:
     """Subclasses set: self.mesh, self.state, self._batch_sharding, and
     implement train_step_on_batch(batch) -> metrics and

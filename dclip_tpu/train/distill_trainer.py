@@ -35,9 +35,7 @@ from dclip_tpu.models.clip import CLIPModule
 from dclip_tpu.models.teacher import (
     PatchTextAggregation,
     encode_patches,
-    encode_patches_compact,
     encode_tokens,
-    patch_budget,
 )
 from dclip_tpu.ops.losses import distillation_loss
 from dclip_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
@@ -288,37 +286,15 @@ class DistillTrainer(BaseTrainer):
         return self._teacher_tail(teacher_clip_variables, teacher_params, pe, batch)
 
     def _encode_patches_budgeted(self, raw_batch, device_batch):
-        """Patch encode with crop compaction: only ~valid-count crops run
-        through the ViT (bucketed so at most a few variants compile).
-        Enabled by cfg.compact_patches; dense otherwise or when the batch
-        is full."""
-        if not self.cfg.compact_patches:
-            return self._patch_encode_step(self.teacher_clip_variables, device_batch)
-        import numpy as np
+        """Patch encode with optional crop compaction (shared helper)."""
+        from dclip_tpu.train.base import budgeted_patch_encode
 
-        d = raw_batch.as_dict() if hasattr(raw_batch, "as_dict") else raw_batch
-        mask = np.asarray(d["box_mask"])
-        budget = patch_budget(int(mask.sum()), mask.size)
-        if budget >= mask.size:
-            return self._patch_encode_step(self.teacher_clip_variables, device_batch)
-        step = self._patch_encode_compact_steps.get(budget)
-        if step is None:
-            def _compact(variables, batch, _budget=budget):
-                return encode_patches_compact(
-                    self.teacher_clip,
-                    variables,
-                    batch["teacher_pixels"],
-                    batch["boxes"],
-                    batch["box_mask"],
-                    patch_size=self.teacher_clip_config.vision.image_size,
-                    budget=_budget,
-                )
-
-            step = jax.jit(_compact)
-            self._patch_encode_compact_steps[budget] = step
-        return step(self.teacher_clip_variables, device_batch)
-
-    # -- loss ------------------------------------------------------------------------
+        return budgeted_patch_encode(
+            self.teacher_clip, self.teacher_clip_config,
+            self.teacher_clip_variables, raw_batch, device_batch,
+            self._patch_encode_compact_steps,
+            compact=self.cfg.compact_patches,
+        )
 
     def _student_loss(self, params, teacher_img, teacher_txt, batch):
         student_img = self.student.apply(

@@ -90,6 +90,7 @@ class TeacherTrainer(BaseTrainer):
         self._train_step = make_train_step(self._loss, self.tx)
         self._eval_loss = jax.jit(self._loss)
         self._batch_sharding = batch_sharding(self.mesh, cfg.mesh.data_axis)
+        self._patch_jits: Dict[int, Any] = {}
 
     def _put_replicated(self):
         self.state = replicate_tree(self.state, self.mesh)
@@ -109,15 +110,10 @@ class TeacherTrainer(BaseTrainer):
 
     # -- loss ------------------------------------------------------------------
 
-    def _loss(self, params, clip_variables, batch):
-        pe = encode_patches(
-            self.clip,
-            clip_variables,
-            batch["teacher_pixels"],
-            batch["boxes"],
-            batch["box_mask"],
-            patch_size=self.clip_config.vision.image_size,
-        )
+    def _loss(self, params, clip_variables, pe, batch):
+        """pe (frozen patch embeddings) is computed OUTSIDE this grad jit:
+        no gradient flows into the region encode (only cross-attention
+        params train), so it can be compacted/cached independently."""
         te, tmask = encode_tokens(
             self.clip,
             clip_variables,
@@ -155,16 +151,29 @@ class TeacherTrainer(BaseTrainer):
     def _num_epochs(self) -> int:
         return self.cfg.epochs
 
+    def _patch_embeddings(self, batch, device_batch):
+        from dclip_tpu.train.base import budgeted_patch_encode
+
+        return budgeted_patch_encode(
+            self.clip, self.clip_config, self.clip_variables,
+            batch, device_batch, self._patch_jits,
+            compact=self.cfg.compact_patches,
+        )
+
     def train_step_on_batch(self, batch):
+        device_batch = self._device_batch(batch)
+        pe = self._patch_embeddings(batch, device_batch)
         with trace_span("teacher_train_step"):
             self.state, metrics = self._train_step(
-                self.state, self.clip_variables, self._device_batch(batch)
+                self.state, self.clip_variables, pe, device_batch
             )
         return metrics
 
     def eval_loss_on_batch(self, batch) -> float:
+        device_batch = self._device_batch(batch)
+        pe = self._patch_embeddings(batch, device_batch)
         loss, _ = self._eval_loss(
-            self.state.params, self.clip_variables, self._device_batch(batch)
+            self.state.params, self.clip_variables, pe, device_batch
         )
         return float(loss)
 
