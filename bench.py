@@ -14,8 +14,6 @@ from __future__ import annotations
 import json
 import time
 
-import numpy as np
-
 BASELINE_IMAGES_PER_SEC = 67000 / 7200.0
 
 
@@ -99,7 +97,12 @@ def _run() -> dict:
         "metric": "distill_images_per_sec_per_chip",
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
-        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+        # Off-TPU the model is a toy config; comparing to the reference's
+        # ViT-B/16 GPU figure would be meaningless.
+        "vs_baseline": (
+            round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2) if on_tpu else None
+        ),
+        "backend": jax.default_backend(),
     }
 
 

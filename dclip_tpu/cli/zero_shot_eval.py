@@ -82,6 +82,15 @@ def main(argv=None) -> int:
     if args.classnames_file:
         with open(args.classnames_file) as f:
             classnames = [line.strip() for line in f if line.strip()]
+    elif args.dataset == "imagenet" and classnames and classnames[0].startswith("n0"):
+        # Standard ImageNet layouts name class dirs by WordNet id; prompts
+        # like "a photo of a n01440764" are meaningless. The reference loads
+        # readable names from a text file (test_zero_shot_ImageNet.py:134).
+        print(
+            "WARNING: class directories look like WordNet ids; pass "
+            "--classnames_file with one readable name per class index or "
+            "accuracies will be near-random"
+        )
     prompt = CIFAR_PROMPT if args.dataset.startswith("cifar") else IMAGENET_PROMPT
 
     def run(vars_):

@@ -27,6 +27,10 @@ class MetricsLogger:
         self._t0 = time.time()
 
     def log(self, step: int, metrics: Dict[str, float], prefix: str = "") -> None:
+        """Write a CSV row and print. Callers decide the cadence (the
+        trainers gate on batches-per-epoch); gating here too would
+        double-filter and go silent whenever epoch boundaries misalign the
+        global step with print_every."""
         metrics = {k: float(v) for k, v in metrics.items()}
         row = {"step": step, "time": time.time() - self._t0, **metrics}
         if self.csv_path:
@@ -42,9 +46,8 @@ class MetricsLogger:
                     self._writer.writeheader()
             self._writer.writerow({k: row.get(k, "") for k in self._fields})
             self._file.flush()
-        if step % self.print_every == 0:
-            parts = ", ".join(f"{k}={v:.4f}" for k, v in metrics.items())
-            print(f"{prefix}step {step}: {parts}")
+        parts = ", ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+        print(f"{prefix}step {step}: {parts}")
 
     def close(self) -> None:
         if self._file:

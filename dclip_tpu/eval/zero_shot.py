@@ -154,9 +154,17 @@ def ensure_extracted(data_dir: str) -> str:
 
     target = data_dir[: -len(".zip")] + "_extracted"
     if not os.path.isdir(target):
+        # Extract to a temp dir + rename so an interrupted extraction is
+        # never mistaken for a complete dataset on the next run.
+        tmp = target + ".partial"
         print(f"Extracting {data_dir} -> {target}")
+        import shutil
+
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
         with zipfile.ZipFile(data_dir) as z:
-            z.extractall(target)
+            z.extractall(tmp)
+        os.rename(tmp, target)
     # If the zip wraps everything in a single top-level dir, descend into it.
     entries = [e for e in os.listdir(target) if not e.startswith(".")]
     if len(entries) == 1 and os.path.isdir(os.path.join(target, entries[0])):

@@ -66,19 +66,8 @@ class PatchTextAggregation(nn.Module):
         attended_text, attended_image = CrossModalAttention(
             c.embed_dim, c.num_heads, self.dtype, name="cross_modal_attention"
         )(text_embeddings, patch_embeddings, text_mask=tm, image_mask=pm)
-        text_global = temperature_aggregate(
-            attended_text, c.aggregation_temperature, mask=tm
-        )
-        image_global = temperature_aggregate(
-            attended_image, c.aggregation_temperature, mask=pm
-        )
-        global_embedding = fuse_global(text_global, image_global, c.fusion_alpha)
-        return TeacherOutput(
-            global_embedding=global_embedding,
-            text_global=text_global,
-            image_global=image_global,
-            attended_text=attended_text,
-            attended_image=attended_image,
+        return aggregate_attended(
+            c, attended_text, attended_image, text_mask, patch_mask
         )
 
 

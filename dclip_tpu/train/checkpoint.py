@@ -115,28 +115,37 @@ class CheckpointManager:
             name += f".{tag}"
         name += f".step{step}.msgpack"
         path = os.path.join(self.directory, name)
+        entry = {
+            "path": path,
+            "step": int(step),
+            "epoch": None if epoch is None else int(epoch),
+            "metrics": {k: float(v) for k, v in metrics.items()},
+            "tag": tag,
+            "time": time.time(),
+        }
+
+        def bookkeep():
+            # Index entry recorded ONLY after the file exists on disk —
+            # a preemption mid-write must never leave the index pointing
+            # at a missing checkpoint.
+            self._index.append(entry)
+            self._retain()
+            self._write_index()
+
         if self._executor is not None:
             # At most one outstanding write: prior files must exist before
             # retention runs, and one epoch is ample time to land a write.
             self.wait()
             data = flax.serialization.to_bytes(state)
-            self._pending.append(
-                self._executor.submit(_atomic_write, path, data)
-            )
+
+            def task():
+                _atomic_write(path, data)
+                bookkeep()
+
+            self._pending.append(self._executor.submit(task))
         else:
             save_state(path, state)
-        self._index.append(
-            {
-                "path": path,
-                "step": int(step),
-                "epoch": None if epoch is None else int(epoch),
-                "metrics": {k: float(v) for k, v in metrics.items()},
-                "tag": tag,
-                "time": time.time(),
-            }
-        )
-        self._retain()
-        self._write_index()
+            bookkeep()
         return path
 
     def save_interrupt(self, state: Any, step: int, kind: str = "interrupt") -> str:
@@ -188,10 +197,12 @@ class CheckpointManager:
     # -- query / restore ---------------------------------------------------------
 
     def latest(self) -> Optional[Dict]:
+        self.wait()  # async bookkeeping must land before reads
         entries = [e for e in self._index if not e.get("tag")]
         return max(entries, key=lambda e: e["step"], default=None)
 
     def best(self) -> Optional[Dict]:
+        self.wait()
         scored = [
             e
             for e in self._index

@@ -188,6 +188,13 @@ class DistillTrainer(BaseTrainer):
         self._eval_loss = jax.jit(self._loss)
         self._batch_sharding = batch_sharding(self.mesh, cfg.mesh.data_axis)
         self.teacher_cache = teacher_cache
+        # Compaction's batch-wide argsort gather would reshard full frames
+        # across the data axis under dp>1 — costlier than the savings.
+        self._compact = cfg.compact_patches and (
+            self.mesh.shape.get(cfg.mesh.data_axis, 1) == 1
+        )
+        if cfg.compact_patches and not self._compact:
+            print("compact_patches disabled: data-parallel mesh (dp>1)")
 
     def _build_optimizer(self, params) -> None:
         mask = student_trainable_mask(params, self._unfrozen_extra)
@@ -293,7 +300,7 @@ class DistillTrainer(BaseTrainer):
             self.teacher_clip, self.teacher_clip_config,
             self.teacher_clip_variables, raw_batch, device_batch,
             self._patch_encode_compact_steps,
-            compact=self.cfg.compact_patches,
+            compact=self._compact,
         )
 
     def _student_loss(self, params, teacher_img, teacher_txt, batch):

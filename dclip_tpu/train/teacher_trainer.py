@@ -91,6 +91,13 @@ class TeacherTrainer(BaseTrainer):
         self._eval_loss = jax.jit(self._loss)
         self._batch_sharding = batch_sharding(self.mesh, cfg.mesh.data_axis)
         self._patch_jits: Dict[int, Any] = {}
+        # Compaction's batch-wide argsort gather would reshard full frames
+        # across the data axis under dp>1 — costlier than the savings.
+        self._compact = cfg.compact_patches and (
+            self.mesh.shape.get(cfg.mesh.data_axis, 1) == 1
+        )
+        if cfg.compact_patches and not self._compact:
+            print("compact_patches disabled: data-parallel mesh (dp>1)")
 
     def _put_replicated(self):
         self.state = replicate_tree(self.state, self.mesh)
@@ -157,7 +164,7 @@ class TeacherTrainer(BaseTrainer):
         return budgeted_patch_encode(
             self.clip, self.clip_config, self.clip_variables,
             batch, device_batch, self._patch_jits,
-            compact=self.cfg.compact_patches,
+            compact=self._compact,
         )
 
     def train_step_on_batch(self, batch):
