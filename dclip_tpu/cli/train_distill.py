@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "slots (bucketed crop compaction)")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint encoder layers (memory for FLOPs)")
+    p.add_argument("--knn_store", default=None,
+                   help="EmbeddingStore (.npz/.dcs from cli.precache "
+                        "--build_index) enabling the knn/projection gate "
+                        "over patch embeddings")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--metrics_csv", default=None)
     add_model_args(p)  # teacher CLIP stack
@@ -186,9 +190,16 @@ def main(argv=None) -> int:
         teacher_cache = TeacherTargetCache(
             None if args.teacher_cache == "memory" else args.teacher_cache
         )
+    knn_store = None
+    if args.knn_store and os.path.exists(args.knn_store):
+        from dclip_tpu.data.embedding_store import EmbeddingStore
+
+        knn_store = EmbeddingStore.load(args.knn_store)
+        print(f"KNN gate enabled: {len(knn_store)} stored embeddings")
     trainer = DistillTrainer(
         cfg, student_vars, teacher_clip_vars, teacher_params,
         student_cfg, teacher_clip_cfg, mesh=mesh, teacher_cache=teacher_cache,
+        knn_store=knn_store,
     )
     ckpts = CheckpointManager(
         cfg.checkpoint_dir,

@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused Pallas kernels on the hot path")
     p.add_argument("--compact_patches", action="store_true",
                    help="region-encode only valid patch slots")
+    p.add_argument("--knn_store", default=None,
+                   help="EmbeddingStore (.npz/.dcs from cli.precache "
+                        "--build_index) enabling the knn/projection gate "
+                        "over patch embeddings")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--metrics_csv", default=None)
     add_model_args(p)
@@ -127,7 +131,14 @@ def main(argv=None) -> int:
         print(f"Validation set size: {len(val_pipe.items)} samples")
 
     mesh = make_mesh(cfg.mesh)
-    trainer = TeacherTrainer(cfg, clip_vars, clip_cfg, mesh=mesh)
+    knn_store = None
+    if args.knn_store and os.path.exists(args.knn_store):
+        from dclip_tpu.data.embedding_store import EmbeddingStore
+
+        knn_store = EmbeddingStore.load(args.knn_store)
+        print(f"KNN gate enabled: {len(knn_store)} stored embeddings")
+    trainer = TeacherTrainer(cfg, clip_vars, clip_cfg, mesh=mesh,
+                             knn_store=knn_store)
     ckpts = CheckpointManager(
         os.path.dirname(cfg.output_path) or ".",
         prefix=os.path.basename(cfg.output_path),

@@ -15,6 +15,30 @@ from dclip_tpu.parallel.mesh import replicate_tree
 from dclip_tpu.train.checkpoint import CheckpointManager
 
 
+def apply_knn_gate(pe, positions, store_keys, store_values, projection_fn,
+                   threshold: float, patch_mask):
+    """Route patch embeddings through the knn/projection/clip gate
+    (the reference's use_knn_projection teacher mode,
+    patch_text_aggregation.py:78-99,308-486, vectorized via ops.knn).
+
+    pe [B, P, D] raw patch embeddings -> gated [B, P, D] (masked slots stay
+    zero)."""
+    import jax.numpy as jnp
+
+    from dclip_tpu.ops.knn import knn_or_projection
+
+    b, p, d = pe.shape
+    res = knn_or_projection(
+        pe.reshape(b * p, d),
+        None if positions is None else positions.reshape(b * p, 4),
+        store_keys,
+        store_values,
+        projection_fn,
+        threshold,
+    )
+    return res.embeddings.reshape(b, p, d) * patch_mask[..., None]
+
+
 def budgeted_patch_encode(
     clip_model,
     clip_config,

@@ -141,6 +141,7 @@ class DistillTrainer(BaseTrainer):
         teacher_clip_config: Optional[CLIPConfig] = None,
         mesh=None,
         teacher_cache: Optional["TeacherTargetCache"] = None,
+        knn_store=None,
     ):
         self.cfg = cfg
         self.student_config = student_config or CLIPConfig.from_name(cfg.student_model)
@@ -195,6 +196,10 @@ class DistillTrainer(BaseTrainer):
         )
         if cfg.compact_patches and not self._compact:
             print("compact_patches disabled: data-parallel mesh (dp>1)")
+        self._knn_keys = self._knn_values = None
+        if knn_store is not None and len(knn_store) > 0:
+            self._knn_keys = jnp.asarray(knn_store.keys)
+            self._knn_values = jnp.asarray(knn_store.values)
 
     def _build_optimizer(self, params) -> None:
         mask = student_trainable_mask(params, self._unfrozen_extra)
@@ -288,20 +293,38 @@ class DistillTrainer(BaseTrainer):
             jax.lax.stop_gradient(teacher_text),
         )
 
+    def _maybe_knn_gate(self, pe, batch):
+        """Optional knn/projection gate over raw patch embeddings (the
+        reference's use_knn_projection teacher mode, EmbeddingStore-backed;
+        patch_text_aggregation.py:78-99,308-486). Traceable: called from
+        both the split training path and the fused eval/dryrun loss."""
+        if self._knn_keys is None:
+            return pe
+        from dclip_tpu.train.base import apply_knn_gate
+
+        frame = batch["teacher_pixels"].shape[1]
+        return apply_knn_gate(
+            pe, batch["boxes"] / float(frame), self._knn_keys,
+            self._knn_values, None, self.cfg.teacher.similarity_threshold,
+            batch["box_mask"],
+        )
+
     def _teacher_targets(self, teacher_clip_variables, teacher_params, batch):
         pe = self._encode_patches_only(teacher_clip_variables, batch)
+        pe = self._maybe_knn_gate(pe, batch)
         return self._teacher_tail(teacher_clip_variables, teacher_params, pe, batch)
 
     def _encode_patches_budgeted(self, raw_batch, device_batch):
         """Patch encode with optional crop compaction (shared helper)."""
         from dclip_tpu.train.base import budgeted_patch_encode
 
-        return budgeted_patch_encode(
+        pe = budgeted_patch_encode(
             self.teacher_clip, self.teacher_clip_config,
             self.teacher_clip_variables, raw_batch, device_batch,
             self._patch_encode_compact_steps,
             compact=self._compact,
         )
+        return self._maybe_knn_gate(pe, device_batch)
 
     def _student_loss(self, params, teacher_img, teacher_txt, batch):
         student_img = self.student.apply(

@@ -59,6 +59,7 @@ class TeacherTrainer(BaseTrainer):
         clip_config: Optional[CLIPConfig] = None,
         mesh=None,
         teacher_params: Optional[Any] = None,
+        knn_store=None,
     ):
         self.cfg = cfg
         self.clip_config = clip_config or CLIPConfig.from_name(cfg.clip_model)
@@ -98,6 +99,7 @@ class TeacherTrainer(BaseTrainer):
         )
         if cfg.compact_patches and not self._compact:
             print("compact_patches disabled: data-parallel mesh (dp>1)")
+        self._init_knn_gate(knn_store)
 
     def _put_replicated(self):
         self.state = replicate_tree(self.state, self.mesh)
@@ -158,14 +160,36 @@ class TeacherTrainer(BaseTrainer):
     def _num_epochs(self) -> int:
         return self.cfg.epochs
 
+    def _init_knn_gate(self, knn_store) -> None:
+        """Optional knn/projection gate over raw patch embeddings (the
+        reference's use_knn_projection teacher mode, EmbeddingStore-backed;
+        patch_text_aggregation.py:78-99)."""
+        self._knn_keys = self._knn_values = None
+        if knn_store is not None and len(knn_store) > 0:
+            self._knn_keys = jnp.asarray(knn_store.keys)
+            self._knn_values = jnp.asarray(knn_store.values)
+
+    def _maybe_knn_gate(self, pe, batch):
+        if self._knn_keys is None:
+            return pe
+        from dclip_tpu.train.base import apply_knn_gate
+
+        frame = batch["teacher_pixels"].shape[1]
+        return apply_knn_gate(
+            pe, batch["boxes"] / float(frame), self._knn_keys,
+            self._knn_values, None, self.cfg.teacher.similarity_threshold,
+            batch["box_mask"],
+        )
+
     def _patch_embeddings(self, batch, device_batch):
         from dclip_tpu.train.base import budgeted_patch_encode
 
-        return budgeted_patch_encode(
+        pe = budgeted_patch_encode(
             self.clip, self.clip_config, self.clip_variables,
             batch, device_batch, self._patch_jits,
             compact=self._compact,
         )
+        return self._maybe_knn_gate(pe, device_batch)
 
     def train_step_on_batch(self, batch):
         device_batch = self._device_batch(batch)

@@ -402,3 +402,51 @@ def test_compact_patch_encode_matches_dense(distill_setup, cpu_mesh):
         np.asarray(trainer._patch_encode_step(trainer.teacher_clip_variables, devf)),
         atol=1e-6,
     )
+
+
+def test_teacher_trainer_knn_store_gate(clip_setup, cpu_mesh):
+    """With a store seeded by near-duplicates of the raw patch embeddings
+    and threshold 0, the gate swaps in stored VALUES; the loss changes vs
+    the ungated trainer but training still runs."""
+    from dclip_tpu.data.embedding_store import EmbeddingStore
+
+    clip_cfg, clip_vars = clip_setup
+    cfg = TeacherTrainConfig(
+        epochs=1, teacher=_tiny_teacher_cfg(clip_cfg), clip_model="tiny"
+    )
+    pipe = FakePipeline(clip_cfg, 1)
+    batch = pipe.batches[0]
+
+    plain = TeacherTrainer(cfg, clip_vars, clip_cfg, mesh=cpu_mesh)
+    pe_plain = plain._patch_embeddings(batch, plain._device_batch(batch))
+
+    store = EmbeddingStore(dim=clip_cfg.projection_dim)
+    rng = np.random.RandomState(7)
+    values = rng.randn(10, clip_cfg.projection_dim).astype(np.float32)
+    store.add_batch(
+        [f"s{i}" for i in range(10)],
+        rng.randn(10, clip_cfg.projection_dim).astype(np.float32),
+        values=values,
+    )
+    gated = TeacherTrainer(cfg, clip_vars, clip_cfg, mesh=cpu_mesh, knn_store=store)
+    # Threshold default 0.85: random queries vs random store rarely hit;
+    # force hits with threshold -1 via config.
+    import dataclasses
+
+    cfg_hit = dataclasses.replace(
+        cfg, teacher=dataclasses.replace(cfg.teacher, similarity_threshold=-1.0)
+    )
+    gated_hit = TeacherTrainer(
+        cfg_hit, clip_vars, clip_cfg, mesh=cpu_mesh, knn_store=store
+    )
+    pe_hit = gated_hit._patch_embeddings(batch, gated_hit._device_batch(batch))
+    # Every valid slot replaced by a stored value row.
+    mask = batch.box_mask > 0
+    got = np.asarray(pe_hit)[mask]
+    dists = np.linalg.norm(got[:, None, :] - values[None], axis=-1)
+    assert (dists.min(axis=1) < 1e-4).all()
+    assert not np.allclose(np.asarray(pe_hit), np.asarray(pe_plain))
+    # And the gated trainer still trains.
+    loss = gated_hit.eval_loss_on_batch(batch)
+    assert np.isfinite(loss)
+    del gated
