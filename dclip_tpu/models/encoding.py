@@ -15,11 +15,31 @@ from dclip_tpu.models.clip import CLIPModule
 
 
 def make_image_encoder(
-    model: CLIPModule, variables: Dict[str, Any], batch_size: int = 256
+    model: CLIPModule,
+    variables: Dict[str, Any],
+    batch_size: int = 256,
+    mesh=None,
+    data_axis: str = "data",
 ) -> Callable[[Sequence[np.ndarray]], np.ndarray]:
     """Returns encode(pixels) mapping a list/array of preprocessed NHWC
     images -> [N, D] features, in fixed-size jitted batches (the tail batch
-    is zero-padded so one compiled shape serves every call)."""
+    is zero-padded so one compiled shape serves every call).
+
+    With a `mesh`, batches are sharded over its data axis and params
+    replicated — multi-chip eval embedding with zero code change in the
+    model (XLA inserts the collectives)."""
+    if mesh is not None:
+        from dclip_tpu.parallel.mesh import batch_sharding, replicate_tree
+
+        variables = replicate_tree(variables, mesh)
+        in_sharding = batch_sharding(mesh, data_axis)
+        if batch_size % mesh.shape[data_axis] != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide the data axis "
+                f"({mesh.shape[data_axis]})"
+            )
+    else:
+        in_sharding = None
     fwd = jax.jit(lambda v, p: model.apply(v, p, method=model.get_image_features))
 
     def encode(pixels: Sequence[np.ndarray]) -> np.ndarray:
@@ -31,7 +51,12 @@ def make_image_encoder(
                 chunk = np.concatenate(
                     [chunk, np.zeros((batch_size - n,) + chunk.shape[1:], chunk.dtype)]
                 )
-            out.append(np.asarray(fwd(variables, jnp.asarray(chunk)))[:n])
+            dev = (
+                jax.device_put(chunk, in_sharding)
+                if in_sharding is not None
+                else jnp.asarray(chunk)
+            )
+            out.append(np.asarray(fwd(variables, dev))[:n])
         return (
             np.concatenate(out, 0)
             if out

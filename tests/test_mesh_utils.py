@@ -64,3 +64,24 @@ def test_trace_span_noop():
     with trace_span("unit-test-span"):
         x = jnp.ones(3) * 2
     assert float(x.sum()) == 6.0
+
+
+def test_sharded_image_encoder_matches_single_device(cpu_devices):
+    from dclip_tpu.core.config import CLIPConfig
+    from dclip_tpu.models.clip import CLIPModule
+    from dclip_tpu.models.encoding import make_image_encoder
+
+    cfg = CLIPConfig.tiny_test()
+    model = CLIPModule(cfg)
+    s = cfg.vision.image_size
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.text.max_length), jnp.int32),
+        jnp.zeros((1, s, s, 3)),
+    )
+    rng = np.random.RandomState(0)
+    pixels = [rng.randn(s, s, 3).astype(np.float32) for _ in range(11)]
+    single = make_image_encoder(model, variables, batch_size=8)(pixels)
+    mesh = make_mesh(MeshConfig(), devices=cpu_devices)
+    sharded = make_image_encoder(model, variables, batch_size=8, mesh=mesh)(pixels)
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
