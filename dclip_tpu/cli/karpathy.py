@@ -47,6 +47,11 @@ def _json_path(args, name):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.datasets == "both" and args.karpathy_json:
+        raise SystemExit(
+            "--karpathy_json is single-dataset; with --datasets both use "
+            "--karpathy_dir (containing <name>/dataset_<name>.json)"
+        )
     os.makedirs(args.output_dir, exist_ok=True)
     todo = ["coco", "flickr30k"] if args.datasets == "both" else [args.datasets]
     for name in todo:

@@ -113,7 +113,14 @@ def main(argv=None) -> int:
     )
     student_preset = args.student_preset or args.model_preset
     student_weights = args.student_weights or args.clip_weights
-    student_cfg, _, student_vars = load_clip(student_preset, student_weights, args.seed)
+    if (student_preset, student_weights) == (args.model_preset, args.clip_weights):
+        # Same preset+weights: reuse the already-loaded teacher CLIP instead
+        # of parsing a multi-GB snapshot from disk twice.
+        student_cfg, student_vars = teacher_clip_cfg, teacher_clip_vars
+    else:
+        student_cfg, _, student_vars = load_clip(
+            student_preset, student_weights, args.seed
+        )
     tokenizer = load_tokenizer(args.tokenizer_dir, student_cfg.text.max_length)
 
     if student_cfg.projection_dim != teacher_clip_cfg.projection_dim:

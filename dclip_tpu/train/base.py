@@ -193,6 +193,11 @@ class BaseTrainer:
         """Hook: align mutable trainer structure (optimizer masks etc.) with
         the state at checkpoint-save time before restoring into it."""
 
+    def _place_state(self, state):
+        """Hook: device placement for a restored state. Default replicates;
+        tensor-parallel trainers override to re-apply their shardings."""
+        return replicate_tree(state, self.mesh)
+
     def resume(self, checkpoints: CheckpointManager) -> int:
         entry = checkpoints.latest()
         if entry is None:
@@ -200,5 +205,5 @@ class BaseTrainer:
         saved_epoch = entry.get("epoch") or 0
         self._prepare_resume(saved_epoch)
         state, _ = checkpoints.restore_latest_or_none(jax.device_get(self.state))
-        self.state = replicate_tree(state, self.mesh)
+        self.state = self._place_state(state)
         return saved_epoch + 1

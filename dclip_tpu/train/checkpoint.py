@@ -173,7 +173,11 @@ class CheckpointManager:
         sign = 1 if self.mode == "min" else -1
         scored.sort(key=lambda e: sign * e["metrics"][self.monitor])
         keep = set(id(e) for e in scored[: self.save_top_k])
-        latest = max(self._index, key=lambda e: e["step"], default=None)
+        # Latest-protection applies to REGULAR checkpoints only: a tagged
+        # interrupt entry with a higher step must not strip the newest
+        # resume point of its protection.
+        untagged = [e for e in self._index if not e.get("tag")]
+        latest = max(untagged, key=lambda e: e["step"], default=None)
         new_index = []
         for e in self._index:
             if (

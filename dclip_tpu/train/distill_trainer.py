@@ -66,11 +66,15 @@ class TeacherTargetCache:
     in-process dict.
     """
 
-    def __init__(self, path: Optional[str] = None, sync_every: int = 100):
+    def __init__(self, path: Optional[str] = None, sync_every: int = 100,
+                 salt: str = ""):
         self._mem: Dict[bytes, Any] = {}
         self._store = None
         self._puts = 0
         self.sync_every = sync_every
+        # Fingerprint of the teacher (config + weights): a persistent cache
+        # must never serve targets computed by a DIFFERENT teacher.
+        self.salt = salt
         if path is not None:
             from dclip_tpu import native
 
@@ -79,15 +83,17 @@ class TeacherTargetCache:
             else:
                 print("native store unavailable; teacher cache is in-memory only")
 
-    @staticmethod
-    def keys_for(batch: Dict[str, Any]) -> list:
+    def keys_for(self, batch: Dict[str, Any]) -> list:
         import hashlib
         import numpy as np
 
         idx = np.asarray(batch["index"])
         ids = np.asarray(batch["input_ids"])
+        prefix = self.salt.encode()
         return [
-            hashlib.md5(int(i).to_bytes(8, "little") + row.tobytes()).hexdigest()
+            hashlib.md5(
+                prefix + int(i).to_bytes(8, "little") + row.tobytes()
+            ).hexdigest()
             for i, row in zip(idx, ids)
         ]
 
@@ -113,7 +119,8 @@ class TeacherTargetCache:
     def put_batch(self, keys: list, targets) -> None:
         import numpy as np
 
-        targets = np.asarray(targets)
+        # float32: np.save round-trips ml_dtypes bfloat16 as raw void.
+        targets = np.asarray(targets, np.float32)
         for k, row in zip(keys, targets):
             if self._store is not None:
                 self._store.put_array(k, row)
@@ -181,7 +188,6 @@ class DistillTrainer(BaseTrainer):
         # trainer's mesh actually executes (NOT jax.default_backend(): the
         # default platform can be a TPU while the mesh is CPU).
         self._pallas_interpret = self.mesh.devices.flat[0].platform != "tpu"
-        self._teacher_step = jax.jit(self._teacher_targets)
         self._patch_encode_step = jax.jit(self._encode_patches_only)
         self._patch_encode_compact_steps: Dict[int, Any] = {}
         self._teacher_tail_step = jax.jit(self._teacher_tail)
@@ -200,6 +206,37 @@ class DistillTrainer(BaseTrainer):
         if knn_store is not None and len(knn_store) > 0:
             self._knn_keys = jnp.asarray(knn_store.keys)
             self._knn_values = jnp.asarray(knn_store.values)
+        if teacher_cache is not None and not teacher_cache.salt:
+            teacher_cache.salt = self._teacher_fingerprint()
+
+    def _teacher_fingerprint(self) -> str:
+        """Digest of everything that determines teacher targets: teacher
+        config, CLIP preset, and weight bytes (shapes + leading bytes of
+        every leaf — cheap but collision-safe in practice)."""
+        import hashlib
+
+        h = hashlib.md5()
+        h.update(repr(self.cfg.teacher).encode())
+        h.update(self.cfg.teacher_clip_model.encode())
+        h.update(str(self._knn_keys is not None).encode())
+        for tree in (self.teacher_params, self.teacher_clip_variables):
+            for leaf in jax.tree_util.tree_leaves(jax.device_get(tree)):
+                import numpy as np
+
+                arr = np.asarray(leaf)
+                h.update(str(arr.shape).encode())
+                h.update(arr.tobytes()[:128])
+        return h.hexdigest()[:12]
+
+    def _place_params(self, params):
+        """TP-shard encoder params when the model axis is active, else
+        replicate (resume/unfreeze must not densify TP layouts)."""
+        model_axis = self.cfg.mesh.model_axis
+        if self.mesh.shape.get(model_axis, 1) > 1:
+            from dclip_tpu.parallel.tp import shard_clip_params
+
+            return shard_clip_params(jax.device_get(params), self.mesh, model_axis)
+        return replicate_tree(params, self.mesh)
 
     def _build_optimizer(self, params) -> None:
         mask = student_trainable_mask(params, self._unfrozen_extra)
@@ -396,7 +433,7 @@ class DistillTrainer(BaseTrainer):
             d = raw_batch.as_dict() if hasattr(raw_batch, "as_dict") else raw_batch
             if "index" in d:
                 if keys is None:
-                    keys = TeacherTargetCache.keys_for(d)
+                    keys = self.teacher_cache.keys_for(d)
                 if probe_full:
                     cached = self.teacher_cache.get_batch(keys)
                     if cached is not None:
@@ -404,8 +441,9 @@ class DistillTrainer(BaseTrainer):
                             jnp.asarray(cached), self._batch_sharding
                         )
                         return t[:, 0], t[:, 1]
+                salt = self.teacher_cache.salt
                 patch_keys = [
-                    f"pe:{int(i)}" for i in np.asarray(d["index"])
+                    f"pe:{salt}:{int(i)}" for i in np.asarray(d["index"])
                 ]
         with trace_span("teacher_targets"):
             pe = None
@@ -439,7 +477,7 @@ class DistillTrainer(BaseTrainer):
         cached = None
         keys = None
         if self.teacher_cache is not None and "index" in d:
-            keys = TeacherTargetCache.keys_for(d)
+            keys = self.teacher_cache.keys_for(d)
             cached = self.teacher_cache.get_batch(keys)
         if cached is not None:
             device_batch = self._device_batch(batch, self._STUDENT_FIELDS)
@@ -450,9 +488,17 @@ class DistillTrainer(BaseTrainer):
             teacher_img, teacher_txt = self._get_teacher_targets(
                 batch, device_batch, keys=keys, probe_full=False
             )
+        # One pytree structure + dtype for the student jit regardless of the
+        # cache path: fields filtered to the student's, targets in float32
+        # (a structure/dtype flip at the first cache hit would retrace the
+        # heaviest compile a second time).
+        student_batch = {k: device_batch[k] for k in self._STUDENT_FIELDS}
         with trace_span("distill_train_step"):
             self.state, metrics = self._train_step(
-                self.state, teacher_img, teacher_txt, device_batch
+                self.state,
+                teacher_img.astype(jnp.float32),
+                teacher_txt.astype(jnp.float32),
+                student_batch,
             )
         return metrics
 
@@ -466,15 +512,12 @@ class DistillTrainer(BaseTrainer):
         )
         if set(new) != set(self._unfrozen_extra):
             self._unfrozen_extra = new
-            params = jax.device_get(self.state.params)
-            self._build_optimizer(params)
-            self.state = replicate_tree(
-                TrainState(
-                    step=jax.device_get(self.state.step),
-                    params=params,
-                    opt_state=self.tx.init(params),
-                ),
-                self.mesh,
+            placed = self._place_params(self.state.params)
+            self._build_optimizer(jax.device_get(self.state.params))
+            self.state = TrainState(
+                step=replicate_tree(jax.device_get(self.state.step), self.mesh),
+                params=placed,
+                opt_state=self.tx.init(placed),
             )
             self._train_step = make_train_step(
                 self._student_loss, self.tx, donate=False
@@ -496,6 +539,18 @@ class DistillTrainer(BaseTrainer):
             self._device_batch(batch),
         )
         return float(loss)
+
+    def _place_state(self, state):
+        """Resume placement: params keep their TP shardings; step and
+        opt_state replicate (TP-sharding restored optimizer moments is a
+        known gap — memory-suboptimal under mp>1, never incorrect)."""
+        from dclip_tpu.train.optim import TrainState as _TS
+
+        return _TS(
+            step=replicate_tree(state.step, self.mesh),
+            params=self._place_params(state.params),
+            opt_state=replicate_tree(state.opt_state, self.mesh),
+        )
 
     def _prepare_resume(self, saved_epoch: int) -> None:
         # The checkpoint's opt_state structure reflects the unfreeze stage

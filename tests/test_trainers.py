@@ -257,8 +257,8 @@ def test_teacher_target_cache_hits_and_matches(distill_setup, cpu_mesh):
     )
     # Different caption ids -> different key -> miss.
     batch2 = FakePipeline(clip_cfg, 1, seed=9).batches[0]
-    keys1 = TeacherTargetCache.keys_for(batch.as_dict())
-    keys2 = TeacherTargetCache.keys_for(batch2.as_dict())
+    keys1 = cache.keys_for(batch.as_dict())
+    keys2 = cache.keys_for(batch2.as_dict())
     assert set(keys1).isdisjoint(keys2)
     del _jax
 
