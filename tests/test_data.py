@@ -288,3 +288,43 @@ def test_pipeline_producer_errors_propagate(tiny_corpus):
     )
     with pytest.raises(KeyError):
         list(pipe.epoch(0))
+
+
+def test_conceptual_captions_processor(tmp_path):
+    """CC TSV rows resolve to already-downloaded files by row index or URL
+    basename (zero-egress: no HTTP, reference :228-350 downloads live)."""
+    from dclip_tpu.data.corpus import process_conceptual_captions
+
+    img_dir = tmp_path / "cc"
+    img_dir.mkdir()
+    _png(img_dir / "cc_0.jpg")       # row-index naming
+    _png(img_dir / "photo7.jpg")     # URL-basename naming
+    tsv = tmp_path / "cc.tsv"
+    tsv.write_text(
+        "a dog\thttp://x.test/a/missing.jpg\n"        # row 0 -> cc_0.jpg
+        "a cat\thttp://x.test/b/photo7.jpg?sig=1\n"   # row 1 -> basename
+        "a bird\thttp://x.test/c/nowhere.jpg\n"       # row 2 -> skipped
+    )
+    out = process_conceptual_captions(str(img_dir), str(tsv), 10)
+    assert len(out) == 2
+    assert out[0]["captions"] == ["a dog"]
+    assert out[0]["image_path"].endswith("cc_0.jpg")
+    assert out[1]["image_path"].endswith("photo7.jpg")
+    assert all(o["dataset"] == "conceptual_captions" for o in out)
+
+
+def test_print_dataset_stats_smoke(capsys):
+    from dclip_tpu.data.corpus import print_dataset_stats
+
+    print_dataset_stats(
+        [
+            {"image_path": "a", "captions": ["one two", "three"],
+             "dataset": "coco", "boxes": []},
+            {"image_path": "b", "captions": ["four"], "dataset": "vg",
+             "boxes": [{"x": 0, "y": 0, "width": 1, "height": 1}]},
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "Total images: 2" in out
+    assert "Images with bounding boxes: 1 (50.00%)" in out
+    assert "- Total captions: 3" in out
