@@ -7,6 +7,7 @@ from dclip_tpu.kernels.cross_attention import (
     cross_attention_fused,
     cross_attention_trainable,
 )
+from dclip_tpu.kernels.topk import topk_streamed
 from dclip_tpu.kernels.distill_loss import (
     MAX_FUSED_BATCH,
     fused_distillation_loss,
@@ -19,4 +20,5 @@ __all__ = [
     "fused_distillation_loss",
     "make_fused_distillation_loss",
     "MAX_FUSED_BATCH",
+    "topk_streamed",
 ]

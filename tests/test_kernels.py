@@ -155,3 +155,32 @@ def test_cross_attention_single_sided_mask_not_dropped(cm_setup):
         image_mask=jnp.asarray(imask),
     )
     np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t), atol=1e-4)
+
+
+def test_topk_streamed_matches_xla(loss_inputs):
+    from dclip_tpu.kernels import topk_streamed
+    from dclip_tpu.ops.knn import knn_search
+
+    rng = np.random.RandomState(9)
+    q = jnp.asarray(rng.randn(8, 32).astype(np.float32))
+    store = jnp.asarray(rng.randn(1000, 32).astype(np.float32))
+    got_s, got_i = topk_streamed(q, store, k=5, block_n=256, interpret=True)
+    want_s, want_i = knn_search(q, store, k=5)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_topk_streamed_negative_scores_and_padding():
+    """Padded sentinel rows must not beat genuinely negative scores, and
+    exact block multiples need no padding at all."""
+    from dclip_tpu.kernels import topk_streamed
+    from dclip_tpu.ops.knn import knn_search
+
+    rng = np.random.RandomState(10)
+    q = jnp.asarray(-np.abs(rng.randn(4, 16)).astype(np.float32))
+    store = jnp.asarray(np.abs(rng.randn(130, 16)).astype(np.float32))
+    got_s, got_i = topk_streamed(q, store, k=3, block_n=64, interpret=True)
+    want_s, want_i = knn_search(q, store, k=3)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    assert (np.asarray(got_i) < 130).all()
