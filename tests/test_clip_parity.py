@@ -8,6 +8,8 @@ whole DCLIP pipeline assumes.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

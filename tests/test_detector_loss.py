@@ -3,6 +3,8 @@ overfit proof (the tiny detector learns to localize synthetic boxes)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

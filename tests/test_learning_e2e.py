@@ -8,6 +8,9 @@ pipeline + losses + optimizer masking together actually train a model — the
 reference has nothing comparable.
 """
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp

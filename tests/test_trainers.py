@@ -3,6 +3,8 @@ on an 8-device CPU mesh (the multi-chip path the reference never had)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
@@ -450,3 +452,77 @@ def test_teacher_trainer_knn_store_gate(clip_setup, cpu_mesh):
     loss = gated_hit.eval_loss_on_batch(batch)
     assert np.isfinite(loss)
     del gated
+
+
+def test_knn_gate_projection_branch(distill_setup, cpu_mesh):
+    """With projection params wired, the knn gate's three-way semantics
+    (reference image_tokenizer.py:278-315) are fully reachable: knn hits
+    above threshold, PROJECTION below threshold (not raw clip), and clip
+    only when no projection is given. All three sources appear across the
+    two configurations under a mid threshold."""
+    import dataclasses as dc
+
+    from dclip_tpu.models.projections import init_image_projection
+    from dclip_tpu.ops.knn import (
+        SOURCE_CLIP,
+        SOURCE_KNN,
+        SOURCE_PROJECTION,
+        knn_or_projection,
+    )
+
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    d = clip_cfg.projection_dim
+    rng = np.random.RandomState(0)
+
+    class Store:
+        keys = rng.randn(16, d).astype(np.float32)
+        keys /= np.linalg.norm(keys, axis=1, keepdims=True)
+        values = keys.copy()
+
+        def __len__(self):
+            return 16
+
+    _, pparams = init_image_projection(jax.random.PRNGKey(3), d)
+    tcfg = dc.replace(cfg.teacher, similarity_threshold=0.6)
+    cfg2 = dc.replace(cfg, teacher=tcfg)
+    trainer = DistillTrainer(
+        cfg2, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg,
+        mesh=cpu_mesh, knn_store=Store(), projection_params=pparams,
+    )
+    assert trainer._projection_fn is not None
+
+    # Half the queries are exact stored keys (knn hits), half random
+    # (below the 0.6 threshold with overwhelming probability at d=16).
+    q = np.concatenate([Store.keys[:4], rng.randn(4, d).astype(np.float32)])
+    pos = rng.rand(8, 4).astype(np.float32)
+    res = knn_or_projection(
+        jnp.asarray(q), jnp.asarray(pos), trainer._knn_keys,
+        trainer._knn_values, trainer._projection_fn, 0.6,
+    )
+    sources = set(np.asarray(res.source).tolist())
+    assert SOURCE_KNN in sources and SOURCE_PROJECTION in sources
+    assert SOURCE_CLIP not in sources  # projection available -> no raw-clip
+
+    res_noproj = knn_or_projection(
+        jnp.asarray(q), jnp.asarray(pos), trainer._knn_keys,
+        trainer._knn_values, None, 0.6,
+    )
+    sources2 = set(np.asarray(res_noproj.source).tolist())
+    assert SOURCE_KNN in sources2 and SOURCE_CLIP in sources2
+
+    # The projection branch actually changes the training-path gate output.
+    pipe = FakePipeline(clip_cfg, 1)
+    batch = pipe.batches[0]
+    db = trainer._device_batch(batch)
+    pe = trainer._patch_encode_step(trainer.teacher_clip_variables, db)
+    gated_proj = trainer._maybe_knn_gate(pe, db)
+    trainer._projection_fn = None
+    gated_clip = trainer._maybe_knn_gate(pe, db)
+    assert not np.allclose(np.asarray(gated_proj), np.asarray(gated_clip))
+    # And a full training step with the projection wired is finite.
+    trainer2 = DistillTrainer(
+        cfg2, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg,
+        mesh=cpu_mesh, knn_store=Store(), projection_params=pparams,
+    )
+    metrics = trainer2.train_step_on_batch(batch)
+    assert np.isfinite(float(metrics["loss"]))
