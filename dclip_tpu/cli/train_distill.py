@@ -57,15 +57,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "(native KV store); 'memory' for in-process only")
     p.add_argument("--max_patches", type=int, default=8)
     p.add_argument("--teacher_image_size", type=int, default=224)
-    p.add_argument("--compute_dtype", default="float32",
-                   choices=["float32", "bfloat16"])
-    p.add_argument("--use_pallas", action="store_true",
+    p.add_argument("--compute_dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="auto = bfloat16 on TPU, float32 elsewhere")
+    p.add_argument("--use_pallas", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="fused Pallas kernels on the hot path")
-    p.add_argument("--compact_patches", action="store_true",
+    p.add_argument("--compact_patches",
+                   action=argparse.BooleanOptionalAction, default=None,
                    help="teacher region-encode runs only over valid patch "
                         "slots (bucketed crop compaction)")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint encoder layers (memory for FLOPs)")
+    p.add_argument("--projection_weights", default=None,
+                   help="ImageProjectionModule params (flax msgpack): enables "
+                        "the projection branch of the knn gate")
     p.add_argument("--knn_store", default=None,
                    help="EmbeddingStore (.npz/.dcs from cli.precache "
                         "--build_index) enabling the knn/projection gate "
@@ -203,10 +209,18 @@ def main(argv=None) -> int:
 
         knn_store = EmbeddingStore.load(args.knn_store)
         print(f"KNN gate enabled: {len(knn_store)} stored embeddings")
+    projection_params = None
+    if args.projection_weights and os.path.exists(args.projection_weights):
+        from dclip_tpu.models.projections import load_image_projection
+
+        _, projection_params = load_image_projection(
+            args.projection_weights, cfg.teacher.embed_dim
+        )
+        print("Projection branch enabled for the knn gate")
     trainer = DistillTrainer(
         cfg, student_vars, teacher_clip_vars, teacher_params,
         student_cfg, teacher_clip_cfg, mesh=mesh, teacher_cache=teacher_cache,
-        knn_store=knn_store,
+        knn_store=knn_store, projection_params=projection_params,
     )
     ckpts = CheckpointManager(
         cfg.checkpoint_dir,

@@ -44,12 +44,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="npz detection cache (see cli.precache)")
     p.add_argument("--max_patches", type=int, default=8)
     p.add_argument("--teacher_image_size", type=int, default=224)
-    p.add_argument("--compute_dtype", default="float32",
-                   choices=["float32", "bfloat16"])
-    p.add_argument("--use_pallas", action="store_true",
+    p.add_argument("--compute_dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="auto = bfloat16 on TPU, float32 elsewhere")
+    p.add_argument("--use_pallas", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="fused Pallas kernels on the hot path")
-    p.add_argument("--compact_patches", action="store_true",
+    p.add_argument("--compact_patches",
+                   action=argparse.BooleanOptionalAction, default=None,
                    help="region-encode only valid patch slots")
+    p.add_argument("--projection_weights", default=None,
+                   help="ImageProjectionModule params (flax msgpack): enables "
+                        "the projection branch of the knn gate")
     p.add_argument("--knn_store", default=None,
                    help="EmbeddingStore (.npz/.dcs from cli.precache "
                         "--build_index) enabling the knn/projection gate "
@@ -137,8 +143,17 @@ def main(argv=None) -> int:
 
         knn_store = EmbeddingStore.load(args.knn_store)
         print(f"KNN gate enabled: {len(knn_store)} stored embeddings")
+    projection_params = None
+    if args.projection_weights and os.path.exists(args.projection_weights):
+        from dclip_tpu.models.projections import load_image_projection
+
+        _, projection_params = load_image_projection(
+            args.projection_weights, cfg.teacher.embed_dim
+        )
+        print("Projection branch enabled for the knn gate")
     trainer = TeacherTrainer(cfg, clip_vars, clip_cfg, mesh=mesh,
-                             knn_store=knn_store)
+                             knn_store=knn_store,
+                             projection_params=projection_params)
     ckpts = CheckpointManager(
         os.path.dirname(cfg.output_path) or ".",
         prefix=os.path.basename(cfg.output_path),

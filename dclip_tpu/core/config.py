@@ -196,13 +196,17 @@ class TeacherTrainConfig:
     clip_model: str = "vit-b-16"
     mesh: MeshConfig = field(default_factory=MeshConfig)
     # Activation dtype for encoder forwards (params stay float32; losses
-    # compute in float32). "bfloat16" is the MXU-native fast path.
-    compute_dtype: str = "float32"
+    # compute in float32). "auto" = bfloat16 on TPU (the MXU-native fast
+    # path), float32 elsewhere. Resolved by `resolve_fast_paths`.
+    compute_dtype: str = "auto"
     # Route the cross-attention forward through the fused Pallas kernel
     # (backward = rematerialized XLA VJP, kernels.cross_attention_trainable).
-    use_pallas: bool = False
+    # None = auto: on for TPU meshes (with an XLA fallback if the Pallas
+    # toolchain is unavailable), off elsewhere.
+    use_pallas: Optional[bool] = None
     # Crop compaction for the frozen region encode (see DistillConfig).
-    compact_patches: bool = False
+    # None = auto: on for single-data-shard TPU meshes.
+    compact_patches: Optional[bool] = None
 
 
 @dataclass(frozen=True)
@@ -261,19 +265,22 @@ class DistillConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     log_every: int = 10
     # Activation dtype for encoder forwards (params stay float32; losses
-    # compute in float32). "bfloat16" is the MXU-native fast path.
-    compute_dtype: str = "float32"
+    # compute in float32). "auto" = bfloat16 on TPU (the MXU-native fast
+    # path), float32 elsewhere. Resolved by `resolve_fast_paths`.
+    compute_dtype: str = "auto"
     # jax.checkpoint each encoder layer: trades FLOPs for HBM, enabling
     # larger per-chip batches for ViT-L/14 students.
     remat: bool = False
     # Use the Pallas kernels on the hot path: fused bidirectional
     # cross-attention for the frozen teacher targets and the fused
-    # distillation loss (custom VJP). XLA paths remain the default.
-    use_pallas: bool = False
+    # distillation loss (custom VJP). None = auto: on for TPU meshes (with
+    # an XLA fallback if the Pallas toolchain is unavailable), off elsewhere.
+    use_pallas: Optional[bool] = None
     # Crop compaction: run the teacher's region-encode ViT over only the
     # valid patch slots (bucketed, max ~4 compiled variants). Big win when
-    # detections average well below max_patches.
-    compact_patches: bool = False
+    # detections average well below max_patches. None = auto: on for
+    # single-data-shard TPU meshes.
+    compact_patches: Optional[bool] = None
 
 
 @dataclass(frozen=True)
@@ -301,6 +308,41 @@ class ZeroShotEvalConfig:
     clip_model: str = "vit-l-14"
     prompt_template: str = "a photo of a {}"
     results_file: Optional[str] = None
+
+
+# ---------------------------------------------------------------------------
+# Fast-path resolution.
+# ---------------------------------------------------------------------------
+
+
+def resolve_fast_paths(cfg, platform: str):
+    """Resolve the auto fast-path fields against the execution platform.
+
+    The north-star architecture (BASELINE.json "MXU speed-of-light") puts
+    bf16 compute, the fused Pallas kernels, and crop compaction ON the hot
+    path by default on TPU; off-TPU (CPU test meshes) the conservative XLA
+    float32 paths remain the default. Explicit user settings always win.
+
+    `platform` is the mesh's execution platform (`mesh.devices.flat[0]
+    .platform`), NOT `jax.default_backend()` — the default backend can be a
+    TPU while the trainer's mesh is CPU (tests, dryrun).
+    """
+    on_tpu = platform == "tpu"
+    updates: dict = {}
+    if getattr(cfg, "compute_dtype", None) == "auto":
+        updates["compute_dtype"] = "bfloat16" if on_tpu else "float32"
+    if getattr(cfg, "use_pallas", False) is None:
+        use = on_tpu
+        if use:
+            from dclip_tpu.kernels import pallas_available
+
+            use = pallas_available()
+            if not use:
+                print("use_pallas auto-disabled: Pallas compile check failed")
+        updates["use_pallas"] = use
+    if getattr(cfg, "compact_patches", False) is None:
+        updates["compact_patches"] = on_tpu
+    return dataclasses.replace(cfg, **updates) if updates else cfg
 
 
 # ---------------------------------------------------------------------------

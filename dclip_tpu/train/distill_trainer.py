@@ -149,6 +149,7 @@ class DistillTrainer(BaseTrainer):
         mesh=None,
         teacher_cache: Optional["TeacherTargetCache"] = None,
         knn_store=None,
+        projection_params=None,
     ):
         self.cfg = cfg
         self.student_config = student_config or CLIPConfig.from_name(cfg.student_model)
@@ -167,11 +168,16 @@ class DistillTrainer(BaseTrainer):
                 f"teacher CLIP projection_dim {self.teacher_clip_config.projection_dim}"
                 f" != teacher embed_dim {cfg.teacher.embed_dim}"
             )
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        # Resolve auto fast-path fields (bf16 / Pallas / compaction default
+        # ON for TPU meshes) against where this trainer actually executes.
+        from dclip_tpu.core.config import resolve_fast_paths
+
+        cfg = self.cfg = resolve_fast_paths(cfg, self.mesh.devices.flat[0].platform)
         dtype = jnp.dtype(cfg.compute_dtype)
         self.student = CLIPModule(self.student_config, dtype=dtype, remat=cfg.remat)
         self.teacher_clip = CLIPModule(self.teacher_clip_config, dtype=dtype)
         self.teacher = PatchTextAggregation(cfg.teacher, dtype=dtype)
-        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
 
         self._unfrozen_extra: tuple = ()
         self._build_optimizer(student_variables["params"])
@@ -203,17 +209,33 @@ class DistillTrainer(BaseTrainer):
         if cfg.compact_patches and not self._compact:
             print("compact_patches disabled: data-parallel mesh (dp>1)")
         self._knn_keys = self._knn_values = None
+        self._projection_fn = None
         if knn_store is not None and len(knn_store) > 0:
             self._knn_keys = jnp.asarray(knn_store.keys)
             self._knn_values = jnp.asarray(knn_store.values)
+        if projection_params is not None:
+            from dclip_tpu.models.projections import (
+                ImageProjectionModule,
+                projection_apply_fn,
+            )
+
+            module = ImageProjectionModule(clip_dim=cfg.teacher.embed_dim)
+            self._projection_fn = projection_apply_fn(module, projection_params)
         if teacher_cache is not None and not teacher_cache.salt:
             teacher_cache.salt = self._teacher_fingerprint()
 
     def _teacher_fingerprint(self) -> str:
         """Digest of everything that determines teacher targets: teacher
-        config, CLIP preset, and weight bytes (shapes + leading bytes of
-        every leaf — cheap but collision-safe in practice)."""
+        config, CLIP preset, and the FULL weight bytes of every leaf.
+
+        A persistent cache keyed on a partial digest (the old shape +
+        leading-128-bytes scheme) would silently serve stale targets after
+        an in-place fine-tune that leaves leading bytes unchanged; hashing
+        all bytes is a one-time ~1s cost on a B/16 stack and removes the
+        collision class entirely."""
         import hashlib
+
+        import numpy as np
 
         h = hashlib.md5()
         h.update(repr(self.cfg.teacher).encode())
@@ -221,11 +243,9 @@ class DistillTrainer(BaseTrainer):
         h.update(str(self._knn_keys is not None).encode())
         for tree in (self.teacher_params, self.teacher_clip_variables):
             for leaf in jax.tree_util.tree_leaves(jax.device_get(tree)):
-                import numpy as np
-
-                arr = np.asarray(leaf)
+                arr = np.ascontiguousarray(leaf)
                 h.update(str(arr.shape).encode())
-                h.update(arr.tobytes()[:128])
+                h.update(arr.tobytes())
         return h.hexdigest()[:12]
 
     def _place_params(self, params):
@@ -333,8 +353,11 @@ class DistillTrainer(BaseTrainer):
     def _maybe_knn_gate(self, pe, batch):
         """Optional knn/projection gate over raw patch embeddings (the
         reference's use_knn_projection teacher mode, EmbeddingStore-backed;
-        patch_text_aggregation.py:78-99,308-486). Traceable: called from
-        both the split training path and the fused eval/dryrun loss."""
+        patch_text_aggregation.py:78-99,308-486). With projection params the
+        below-threshold branch is the position-conditioned projection
+        (reference image_tokenizer.py:278-315), else raw CLIP. Traceable:
+        called from both the split training path and the fused eval/dryrun
+        loss."""
         if self._knn_keys is None:
             return pe
         from dclip_tpu.train.base import apply_knn_gate
@@ -342,7 +365,8 @@ class DistillTrainer(BaseTrainer):
         frame = batch["teacher_pixels"].shape[1]
         return apply_knn_gate(
             pe, batch["boxes"] / float(frame), self._knn_keys,
-            self._knn_values, None, self.cfg.teacher.similarity_threshold,
+            self._knn_values, self._projection_fn,
+            self.cfg.teacher.similarity_threshold,
             batch["box_mask"],
         )
 

@@ -60,13 +60,18 @@ class TeacherTrainer(BaseTrainer):
         mesh=None,
         teacher_params: Optional[Any] = None,
         knn_store=None,
+        projection_params: Optional[Any] = None,
     ):
-        self.cfg = cfg
         self.clip_config = clip_config or CLIPConfig.from_name(cfg.clip_model)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        # Resolve auto fast-path fields (bf16 / Pallas / compaction default
+        # ON for TPU meshes) against where this trainer actually executes.
+        from dclip_tpu.core.config import resolve_fast_paths
+
+        cfg = self.cfg = resolve_fast_paths(cfg, self.mesh.devices.flat[0].platform)
         dtype = jnp.dtype(cfg.compute_dtype)
         self.clip = CLIPModule(self.clip_config, dtype=dtype)
         self.teacher = PatchTextAggregation(cfg.teacher, dtype=dtype)
-        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
 
         if teacher_params is None:
             d = cfg.teacher.embed_dim
@@ -99,7 +104,7 @@ class TeacherTrainer(BaseTrainer):
         )
         if cfg.compact_patches and not self._compact:
             print("compact_patches disabled: data-parallel mesh (dp>1)")
-        self._init_knn_gate(knn_store)
+        self._init_knn_gate(knn_store, projection_params)
 
     def _put_replicated(self):
         self.state = replicate_tree(self.state, self.mesh)
@@ -160,14 +165,25 @@ class TeacherTrainer(BaseTrainer):
     def _num_epochs(self) -> int:
         return self.cfg.epochs
 
-    def _init_knn_gate(self, knn_store) -> None:
+    def _init_knn_gate(self, knn_store, projection_params=None) -> None:
         """Optional knn/projection gate over raw patch embeddings (the
         reference's use_knn_projection teacher mode, EmbeddingStore-backed;
-        patch_text_aggregation.py:78-99)."""
+        patch_text_aggregation.py:78-99). With `projection_params`, below-
+        threshold queries take the position-conditioned projection branch
+        (reference image_tokenizer.py:278-315) instead of raw CLIP."""
         self._knn_keys = self._knn_values = None
+        self._projection_fn = None
         if knn_store is not None and len(knn_store) > 0:
             self._knn_keys = jnp.asarray(knn_store.keys)
             self._knn_values = jnp.asarray(knn_store.values)
+        if projection_params is not None:
+            from dclip_tpu.models.projections import (
+                ImageProjectionModule,
+                projection_apply_fn,
+            )
+
+            module = ImageProjectionModule(clip_dim=self.cfg.teacher.embed_dim)
+            self._projection_fn = projection_apply_fn(module, projection_params)
 
     def _maybe_knn_gate(self, pe, batch):
         if self._knn_keys is None:
@@ -177,7 +193,8 @@ class TeacherTrainer(BaseTrainer):
         frame = batch["teacher_pixels"].shape[1]
         return apply_knn_gate(
             pe, batch["boxes"] / float(frame), self._knn_keys,
-            self._knn_values, None, self.cfg.teacher.similarity_threshold,
+            self._knn_values, self._projection_fn,
+            self.cfg.teacher.similarity_threshold,
             batch["box_mask"],
         )
 

@@ -1,0 +1,151 @@
+"""Auto fast-path resolution (bf16 / Pallas / compaction TPU defaults).
+
+The north star (BASELINE.json) wants the fused-kernel bf16 architecture to
+BE the measured configuration on TPU; off-TPU the conservative XLA float32
+paths stay the default. These tests pin the resolution rules and that the
+flags compose on a real trainer."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dclip_tpu.core.config import (
+    CLIPConfig,
+    DistillConfig,
+    MeshConfig,
+    TeacherConfig,
+    TeacherTrainConfig,
+    resolve_fast_paths,
+)
+from dclip_tpu import kernels as kernels_pkg
+
+
+def test_resolve_cpu_defaults():
+    cfg = resolve_fast_paths(DistillConfig(), "cpu")
+    assert cfg.compute_dtype == "float32"
+    assert cfg.use_pallas is False
+    assert cfg.compact_patches is False
+
+
+def test_resolve_tpu_defaults(monkeypatch):
+    monkeypatch.setitem(kernels_pkg._PALLAS_OK, "ok", True)
+    cfg = resolve_fast_paths(DistillConfig(), "tpu")
+    assert cfg.compute_dtype == "bfloat16"
+    assert cfg.use_pallas is True
+    assert cfg.compact_patches is True
+
+
+def test_resolve_tpu_pallas_unavailable_falls_back(monkeypatch):
+    monkeypatch.setitem(kernels_pkg._PALLAS_OK, "ok", False)
+    cfg = resolve_fast_paths(TeacherTrainConfig(), "tpu")
+    assert cfg.compute_dtype == "bfloat16"
+    assert cfg.use_pallas is False  # XLA twin, not a crash
+
+
+def test_explicit_settings_win(monkeypatch):
+    monkeypatch.setitem(kernels_pkg._PALLAS_OK, "ok", True)
+    cfg = DistillConfig(
+        compute_dtype="float32", use_pallas=False, compact_patches=False
+    )
+    out = resolve_fast_paths(cfg, "tpu")
+    assert out.compute_dtype == "float32"
+    assert out.use_pallas is False
+    assert out.compact_patches is False
+
+
+def test_disable_env(monkeypatch):
+    monkeypatch.delitem(kernels_pkg._PALLAS_OK, "ok", raising=False)
+    monkeypatch.setenv("DCLIP_DISABLE_PALLAS", "1")
+    assert kernels_pkg.pallas_available() is False
+    monkeypatch.delitem(kernels_pkg._PALLAS_OK, "ok", raising=False)
+
+
+def test_flags_compose_on_trainer(cpu_devices):
+    """bf16 + use_pallas (interpret on CPU) + compact_patches together on a
+    real DistillTrainer step -> finite loss, resolved concrete config."""
+    from dclip_tpu.models.clip import CLIPModule
+    from dclip_tpu.models.teacher import PatchTextAggregation
+    from dclip_tpu.parallel.mesh import make_mesh
+    from dclip_tpu.train import DistillTrainer
+
+    clip_cfg = CLIPConfig.tiny_test()
+    B, P, T = 4, 3, clip_cfg.text.max_length
+    img = clip_cfg.vision.image_size
+    tcfg = TeacherConfig(
+        embed_dim=clip_cfg.projection_dim, num_heads=4,
+        max_patches=P, max_text_tokens=T,
+    )
+    clip = CLIPModule(clip_cfg)
+    variables = clip.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, T), jnp.int32),
+        jnp.zeros((1, img, img, 3)),
+    )
+    teacher = PatchTextAggregation(tcfg)
+    d = clip_cfg.projection_dim
+    tparams = teacher.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, T, d)), jnp.zeros((1, P, d))
+    )["params"]
+    cfg = DistillConfig(
+        train_batch_size=B, accumulate_grad_batches=1, teacher=tcfg,
+        student_model="tiny", teacher_clip_model="tiny",
+        compute_dtype="bfloat16", use_pallas=True, compact_patches=True,
+        mesh=MeshConfig(data_parallel=1),
+    )
+    mesh = make_mesh(cfg.mesh, devices=cpu_devices[:1])
+    trainer = DistillTrainer(
+        cfg, variables, variables, tparams, clip_cfg, clip_cfg, mesh=mesh
+    )
+    assert trainer.cfg.use_pallas is True and trainer.cfg.compact_patches is True
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 900, size=(B, T)).astype(np.int32)
+    ids[:, 5] = clip_cfg.text.eos_token_id
+    ids[:, 6:] = 0
+    mask = np.zeros((B, T), np.int32)
+    mask[:, :6] = 1
+    boxes = rng.rand(B, P, 4).astype(np.float32) * 10
+    boxes[..., 2:] += boxes[..., :2] + 4
+    box_mask = np.zeros((B, P), np.float32)
+    box_mask[:, 0] = 1.0  # sparse: forces the compacted bucket
+    batch = {
+        "pixel_values": rng.randn(B, img, img, 3).astype(np.float32) * 0.1,
+        "input_ids": ids,
+        "attention_mask": mask,
+        "teacher_pixels": rng.rand(B, img, img, 3).astype(np.float32),
+        "boxes": boxes,
+        "conf": rng.rand(B, P).astype(np.float32),
+        "box_mask": box_mask,
+    }
+    metrics = trainer.train_step_on_batch(batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_auto_resolves_concrete_on_cpu_trainer(cpu_devices):
+    """Default (auto) config on a CPU mesh resolves to the conservative
+    paths without touching the TPU backend."""
+    from dclip_tpu.models.clip import CLIPModule
+    from dclip_tpu.models.teacher import PatchTextAggregation
+    from dclip_tpu.parallel.mesh import make_mesh
+    from dclip_tpu.train import TeacherTrainer
+
+    clip_cfg = CLIPConfig.tiny_test()
+    clip = CLIPModule(clip_cfg)
+    variables = clip.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, clip_cfg.text.max_length), jnp.int32),
+        jnp.zeros((1, clip_cfg.vision.image_size, clip_cfg.vision.image_size, 3)),
+    )
+    tcfg = TeacherConfig(
+        embed_dim=clip_cfg.projection_dim, num_heads=4,
+        max_patches=3, max_text_tokens=clip_cfg.text.max_length,
+    )
+    cfg = TeacherTrainConfig(teacher=tcfg, clip_model="tiny")
+    assert cfg.compute_dtype == "auto" and cfg.use_pallas is None
+    mesh = make_mesh(MeshConfig(), devices=cpu_devices)
+    trainer = TeacherTrainer(cfg, variables, clip_cfg, mesh=mesh)
+    assert trainer.cfg.compute_dtype == "float32"
+    assert trainer.cfg.use_pallas is False
+    assert trainer.cfg.compact_patches is False
