@@ -173,6 +173,16 @@ class CheckpointManager:
         sign = 1 if self.mode == "min" else -1
         scored.sort(key=lambda e: sign * e["metrics"][self.monitor])
         keep = set(id(e) for e in scored[: self.save_top_k])
+        # Metric-less regular checkpoints retain top-k by recency: a caller
+        # that never passes the monitored metric must not accumulate
+        # checkpoints without bound.
+        unscored = [
+            e
+            for e in self._index
+            if not e.get("tag") and self.monitor not in e["metrics"]
+        ]
+        unscored.sort(key=lambda e: -e["step"])
+        keep |= set(id(e) for e in unscored[: self.save_top_k])
         # Latest-protection applies to REGULAR checkpoints only: a tagged
         # interrupt entry with a higher step must not strip the newest
         # resume point of its protection.
@@ -180,12 +190,7 @@ class CheckpointManager:
         latest = max(untagged, key=lambda e: e["step"], default=None)
         new_index = []
         for e in self._index:
-            if (
-                e.get("tag")
-                or id(e) in keep
-                or e is latest
-                or self.monitor not in e["metrics"]
-            ):
+            if e.get("tag") or id(e) in keep or e is latest:
                 new_index.append(e)
             elif os.path.exists(e["path"]):
                 os.unlink(e["path"])

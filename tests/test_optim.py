@@ -145,3 +145,70 @@ def test_checkpoint_async_writes(tmp_path):
     restored, step = mgr2.restore_latest_or_none({"w": jnp.zeros(6)})
     assert step == 2
     np.testing.assert_allclose(np.asarray(restored["w"]), np.arange(6.0))
+
+
+def test_checkpoint_metricless_entries_pruned_by_recency(tmp_path):
+    """A caller that never passes the monitored metric must not accumulate
+    unbounded checkpoints: metric-less regular entries retain top-k by
+    recency (latest always protected)."""
+    import os
+
+    mgr = CheckpointManager(str(tmp_path), save_top_k=2)
+    state = {"w": jnp.zeros(2)}
+    for step in range(6):
+        mgr.save(state, step=step)  # no metrics at all
+    kept = [e for e in mgr._index if os.path.exists(e["path"])]
+    assert len(kept) == 2
+    assert sorted(e["step"] for e in kept) == [4, 5]  # most recent two
+
+
+def test_teacher_fingerprint_full_digest(cpu_devices):
+    """The teacher-cache fingerprint hashes ALL weight bytes: a change deep
+    inside a leaf (beyond the first 128 bytes) must change the salt."""
+    from dclip_tpu.core.config import (
+        CLIPConfig,
+        DistillConfig,
+        MeshConfig,
+        TeacherConfig,
+    )
+    from dclip_tpu.models.clip import CLIPModule
+    from dclip_tpu.models.teacher import PatchTextAggregation
+    from dclip_tpu.parallel.mesh import make_mesh
+    from dclip_tpu.train import DistillTrainer
+
+    clip_cfg = CLIPConfig.tiny_test()
+    tcfg = TeacherConfig(
+        embed_dim=clip_cfg.projection_dim, num_heads=4,
+        max_patches=3, max_text_tokens=clip_cfg.text.max_length,
+    )
+    clip = CLIPModule(clip_cfg)
+    variables = clip.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, clip_cfg.text.max_length), jnp.int32),
+        jnp.zeros((1, clip_cfg.vision.image_size, clip_cfg.vision.image_size, 3)),
+    )
+    teacher = PatchTextAggregation(tcfg)
+    d = clip_cfg.projection_dim
+    tparams = teacher.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, d)), jnp.zeros((1, 3, d))
+    )["params"]
+    cfg = DistillConfig(
+        train_batch_size=2, teacher=tcfg, student_model="tiny",
+        teacher_clip_model="tiny", mesh=MeshConfig(data_parallel=1),
+    )
+    mesh = make_mesh(cfg.mesh, devices=cpu_devices[:1])
+    trainer = DistillTrainer(
+        cfg, variables, variables, tparams, clip_cfg, clip_cfg, mesh=mesh
+    )
+    fp1 = trainer._teacher_fingerprint()
+    # Flip one element at the END of the largest teacher leaf: the old
+    # leading-128-bytes scheme would not see this.
+    flat = jax.device_get(trainer.teacher_params)
+    leaves, treedef = jax.tree_util.tree_flatten(flat)
+    big = max(range(len(leaves)), key=lambda i: np.asarray(leaves[i]).size)
+    arr = np.array(leaves[big])
+    arr.reshape(-1)[-1] += 1.0
+    leaves[big] = jnp.asarray(arr)
+    trainer.teacher_params = jax.tree_util.tree_unflatten(treedef, leaves)
+    fp2 = trainer._teacher_fingerprint()
+    assert fp1 != fp2
