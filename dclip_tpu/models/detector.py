@@ -13,11 +13,12 @@ the detector itself TPU-native so the whole pipeline can run without torch:
 - `as_detect_fn()` adapts a trained/imported checkpoint to the
   DetectionCache builder contract ((xyxy, conf) in source-image pixels).
 
-Weights: train from scratch with your own pipeline or import a converted
-checkpoint; ultralytics' torch weights are not bundled (zero-egress) and a
-name-mapping importer is future work. Shape/decode semantics are covered by
-tests (tests/test_detector.py); this is architecture + inference machinery,
-not a pretrained model.
+Weights: train from scratch (`models.detector_loss`) or import real
+ultralytics YOLOv8 checkpoints via `models.detector_import`
+(name mapping + OIHW->HWIO transposes + BN statistics routing; presets
+`DetectorConfig.v8n()..v8x()` match the ultralytics scale table including
+the max-channels P5 cap and the Detect-head hidden widths). The weights
+themselves are not bundled (zero-egress).
 """
 from __future__ import annotations
 
@@ -43,6 +44,46 @@ class DetectorConfig:
     iou_threshold: float = 0.45
     score_threshold: float = 0.25
     pre_nms_topk: int = 256
+    # P5-stage channels. Ultralytics caps wide variants (`max_channels` in
+    # the v8 scale table): n/s keep 16*width; m=576, l=512, x=640. None ->
+    # 16*width.
+    p5_ch: int | None = None
+
+    @property
+    def p5(self) -> int:
+        return self.p5_ch if self.p5_ch is not None else 16 * self.width
+
+    # Detect-head hidden widths, ultralytics formulas (modules/head.py
+    # Detect.__init__): shared across scales, derived from the FIRST
+    # scale's channels ch[0] = 4*width.
+    @property
+    def head_box_ch(self) -> int:
+        return max(16, (4 * self.width) // 4, 4 * self.reg_max)
+
+    @property
+    def head_cls_ch(self) -> int:
+        return max(4 * self.width, min(self.num_classes, 100))
+
+    @staticmethod
+    def v8n() -> "DetectorConfig":
+        return DetectorConfig(width=16, depth=1)
+
+    @staticmethod
+    def v8s() -> "DetectorConfig":
+        return DetectorConfig(width=32, depth=1)
+
+    @staticmethod
+    def v8m() -> "DetectorConfig":
+        return DetectorConfig(width=48, depth=2, p5_ch=576)
+
+    @staticmethod
+    def v8l() -> "DetectorConfig":
+        return DetectorConfig(width=64, depth=3, p5_ch=512)
+
+    @staticmethod
+    def v8x() -> "DetectorConfig":
+        """YOLOv8x — the reference's proposal source (image_tokenizer.py:23)."""
+        return DetectorConfig(width=80, depth=3, p5_ch=640)
 
 
 class ConvBNAct(nn.Module):
@@ -52,15 +93,26 @@ class ConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # Explicit symmetric k//2 padding (ultralytics Conv autopad): XLA's
+        # "SAME" puts the extra pad at the END for stride 2, torch pads both
+        # sides — checkpoint import needs bit-identical window placement.
+        pad = self.kernel // 2
         x = nn.Conv(
             self.ch,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((pad, pad), (pad, pad)),
             use_bias=False,
             name="conv",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
+        # eps/momentum follow ultralytics' BatchNorm2d(eps=1e-3,
+        # momentum=0.03) (torch momentum 0.03 == flax momentum 0.97).
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            epsilon=1e-3,
+            momentum=0.97,
+            name="bn",
+        )(x)
         return nn.silu(x)
 
 
@@ -131,7 +183,7 @@ class FlaxYOLO(nn.Module):
         """images [B, S, S, 3] in [0,1] -> per-scale (box_logits, cls_logits)
         with box_logits [B, Hs, Ws, 4*reg_max], cls_logits [B, Hs, Ws, nc]."""
         c = self.cfg
-        w, d = c.width, c.depth
+        w, d, p5c = c.width, c.depth, c.p5
         x = ConvBNAct(w, 3, 2, name="stem")(images, train)  # /2
         x = ConvBNAct(2 * w, 3, 2, name="down1")(x, train)  # /4
         x = C2f(2 * w, d, name="c2f1")(x, train)
@@ -139,9 +191,9 @@ class FlaxYOLO(nn.Module):
         p3 = C2f(4 * w, 2 * d, name="c2f2")(x, train)
         x = ConvBNAct(8 * w, 3, 2, name="down3")(p3, train)  # /16
         p4 = C2f(8 * w, 2 * d, name="c2f3")(x, train)
-        x = ConvBNAct(16 * w, 3, 2, name="down4")(p4, train)  # /32
-        x = C2f(16 * w, d, name="c2f4")(x, train)
-        p5 = SPPF(16 * w, name="sppf")(x, train)
+        x = ConvBNAct(p5c, 3, 2, name="down4")(p4, train)  # /32
+        x = C2f(p5c, d, name="c2f4")(x, train)
+        p5 = SPPF(p5c, name="sppf")(x, train)
 
         # PAN neck.
         x = jnp.concatenate([_upsample2(p5), p4], axis=-1)
@@ -153,26 +205,20 @@ class FlaxYOLO(nn.Module):
             jnp.concatenate([x, n4], axis=-1), train
         )
         x = ConvBNAct(8 * w, 3, 2, name="neck_down2")(n4, train)
-        n5 = C2f(16 * w, d, shortcut=False, name="neck4")(
+        n5 = C2f(p5c, d, shortcut=False, name="neck4")(
             jnp.concatenate([x, p5], axis=-1), train
         )
 
+        # Decoupled heads, hidden widths shared across scales (ultralytics
+        # Detect.__init__ formulas — required for checkpoint import).
+        box_ch, cls_ch = c.head_box_ch, c.head_cls_ch
         outs = []
         for i, feat in enumerate((n3, n4, n5)):
-            ch = feat.shape[-1]
-            box = ConvBNAct(max(ch // 4, 4 * c.reg_max), 3, name=f"head_box_a{i}")(
-                feat, train
-            )
-            box = ConvBNAct(max(ch // 4, 4 * c.reg_max), 3, name=f"head_box_b{i}")(
-                box, train
-            )
+            box = ConvBNAct(box_ch, 3, name=f"head_box_a{i}")(feat, train)
+            box = ConvBNAct(box_ch, 3, name=f"head_box_b{i}")(box, train)
             box = nn.Conv(4 * c.reg_max, (1, 1), name=f"head_box_out{i}")(box)
-            cls = ConvBNAct(max(ch // 4, c.num_classes), 3, name=f"head_cls_a{i}")(
-                feat, train
-            )
-            cls = ConvBNAct(max(ch // 4, c.num_classes), 3, name=f"head_cls_b{i}")(
-                cls, train
-            )
+            cls = ConvBNAct(cls_ch, 3, name=f"head_cls_a{i}")(feat, train)
+            cls = ConvBNAct(cls_ch, 3, name=f"head_cls_b{i}")(cls, train)
             cls = nn.Conv(c.num_classes, (1, 1), name=f"head_cls_out{i}")(cls)
             outs.append((box, cls))
         return outs
