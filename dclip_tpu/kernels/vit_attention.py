@@ -1,0 +1,132 @@
+"""Fused self-attention Pallas kernel for the CLIP ViT encoders.
+
+The ViT forward is the framework's FLOP budget (8 region crops + the
+student image per distillation step), and its XLA attention materializes
+the [B, heads, S, S] logits/probs tensors in HBM every layer — at the
+bench shape (512 crops, 12 heads, S=197) that is ~1 GB of traffic per
+layer, which is what caps the measured MFU well below the MXU roof. This
+kernel keeps the whole softmax(QK^T)V for one batch row VMEM-resident:
+per program it loads q/k/v [S, D] once, loops heads as static [S, hd]
+slices (Mosaic cannot lane-split D in the BlockSpec, so the split happens
+in-kernel — same pattern as kernels.cross_attention), and writes only the
+[S, D] output. HBM traffic per layer drops from O(B*h*S^2) to O(B*S*D).
+
+The QKV/output projections stay in XLA: they are plain GEMMs the MXU
+already runs at speed-of-light, and XLA fuses the bias adds.
+
+`self_attention_trainable` wraps the kernel in a custom VJP whose backward
+recomputes attention in XLA (flash-style recompute: nothing but q/k/v is
+saved), so the student's differentiable path can use it too.
+
+Unmasked only: the vision encoder has no padding and no causality
+(models/clip.py CLIPVisionEncoder); the text encoder (masked, S=77, ~6% of
+step FLOPs) keeps the XLA path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(num_heads: int, scale: float, q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0].astype(jnp.float32)  # [S, D]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    d = q.shape[-1]
+    head_dim = d // num_heads
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        logits = jax.lax.dot_general(
+            q[:, sl] * scale,
+            k[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, S]
+        probs = jax.nn.softmax(logits, axis=-1)
+        outs.append(
+            jnp.dot(probs, v[:, sl], preferred_element_type=jnp.float32)
+        )
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def self_attention_fused(
+    q: jnp.ndarray,  # [B, S, D] (post q_proj)
+    k: jnp.ndarray,  # [B, S, D]
+    v: jnp.ndarray,  # [B, S, D]
+    num_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(q k^T / sqrt(hd)) v per head, fused per batch row."""
+    b, s, d = q.shape
+    scale = (d // num_heads) ** -0.5
+    row = lambda i: (i, 0, 0)  # noqa: E731
+    spec = pl.BlockSpec((1, s, d), row, memory_space=pltpu.VMEM)
+    flops = 2 * 2 * s * s * d  # QK^T + PV
+    return pl.pallas_call(
+        functools.partial(_kernel, num_heads, scale),
+        grid=(b,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, s, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * flops,
+            bytes_accessed=4 * b * s * d * q.dtype.itemsize,
+            transcendentals=b * s * s,
+        ),
+    )(q, k, v)
+
+
+def _xla_attention(q, k, v, num_heads):
+    """XLA twin (the recompute backward + the parity reference)."""
+    b, s, d = q.shape
+    head_dim = d // num_heads
+
+    def split(t):
+        return t.reshape(b, s, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q.astype(jnp.float32)), split(k.astype(jnp.float32)), split(
+        v.astype(jnp.float32)
+    )
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh * head_dim**-0.5, kh,
+        preferred_element_type=jnp.float32,
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, d).astype(q.dtype)
+
+
+def self_attention_trainable(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused attention: Pallas forward + rematerialized XLA
+    backward (nothing but q/k/v saved — flash-style recompute)."""
+
+    @jax.custom_vjp
+    def fwd_fn(q, k, v):
+        return self_attention_fused(q, k, v, num_heads=num_heads,
+                                    interpret=interpret)
+
+    def fwd(q, k, v):
+        return fwd_fn(q, k, v), (q, k, v)
+
+    def bwd(res, g):
+        q, k, v = res
+        _, vjp = jax.vjp(lambda a, b, c: _xla_attention(a, b, c, num_heads), q, k, v)
+        dq, dk, dv = vjp(g.astype(q.dtype))
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+    fwd_fn.defvjp(fwd, bwd)
+    return fwd_fn(q, k, v)

@@ -39,11 +39,20 @@ class MLP(nn.Module):
 
 
 class Attention(nn.Module):
-    """Multi-head self-attention with HF CLIP parameterization."""
+    """Multi-head self-attention with HF CLIP parameterization.
+
+    `fused=True` routes the unmasked case (the vision encoder) through the
+    Pallas fused kernel (`kernels.vit_attention`): the [B, h, S, S]
+    logits/probs never touch HBM — the lever for MXU speed-of-light on the
+    region-encode/student forwards. Masked attention (causal text) keeps
+    the XLA path.
+    """
 
     hidden: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
+    interpret: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
@@ -52,6 +61,14 @@ class Attention(nn.Module):
         q = nn.Dense(self.hidden, dtype=self.dtype, name="q_proj")(x)
         k = nn.Dense(self.hidden, dtype=self.dtype, name="k_proj")(x)
         v = nn.Dense(self.hidden, dtype=self.dtype, name="v_proj")(x)
+
+        if self.fused and mask is None:
+            from dclip_tpu.kernels.vit_attention import self_attention_trainable
+
+            out = self_attention_trainable(
+                q, k, v, num_heads=self.heads, interpret=self.interpret
+            )
+            return nn.Dense(self.hidden, dtype=self.dtype, name="out_proj")(out)
 
         def split(t):
             b, s, _ = t.shape
@@ -77,13 +94,16 @@ class EncoderLayer(nn.Module):
     mlp_dim: int
     eps: float
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
+    interpret: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm1")(x)
-        x = x + Attention(self.hidden, self.heads, self.dtype, name="self_attn")(
-            h, mask
-        )
+        x = x + Attention(
+            self.hidden, self.heads, self.dtype, self.fused, self.interpret,
+            name="self_attn",
+        )(h, mask)
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm2")(x)
         x = x + MLP(self.mlp_dim, self.hidden, self.dtype, name="mlp")(h)
         return x
@@ -97,6 +117,8 @@ class Encoder(nn.Module):
     eps: float
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    fused: bool = False
+    interpret: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -110,6 +132,8 @@ class Encoder(nn.Module):
                 self.mlp_dim,
                 self.eps,
                 self.dtype,
+                self.fused,
+                self.interpret,
                 name=f"layers_{i}",
             )(x, mask)
         return x
@@ -169,6 +193,8 @@ class CLIPVisionEncoder(nn.Module):
     cfg: CLIPVisionConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    fused_attention: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, pixel_values):
@@ -205,6 +231,8 @@ class CLIPVisionEncoder(nn.Module):
             c.layer_norm_eps,
             self.dtype,
             self.remat,
+            self.fused_attention,
+            self.pallas_interpret,
             name="encoder",
         )(x)
         pooled = x[:, 0]
@@ -215,15 +243,25 @@ class CLIPVisionEncoder(nn.Module):
 
 
 class CLIPModule(nn.Module):
-    """Dual-encoder CLIP with projection heads and learnable logit scale."""
+    """Dual-encoder CLIP with projection heads and learnable logit scale.
+
+    `fused_attention=True` uses the Pallas fused self-attention in the
+    VISION encoder (unmasked; the causal text encoder keeps XLA) —
+    parameter trees and numerics are unchanged, only the schedule is.
+    """
 
     cfg: CLIPConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    fused_attention: bool = False
+    pallas_interpret: bool = False
 
     def setup(self):
         self.text_model = CLIPTextEncoder(self.cfg.text, self.dtype, self.remat)
-        self.vision_model = CLIPVisionEncoder(self.cfg.vision, self.dtype, self.remat)
+        self.vision_model = CLIPVisionEncoder(
+            self.cfg.vision, self.dtype, self.remat,
+            self.fused_attention, self.pallas_interpret,
+        )
         self.text_projection = nn.Dense(
             self.cfg.projection_dim, use_bias=False, dtype=self.dtype
         )

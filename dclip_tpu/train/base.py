@@ -91,10 +91,15 @@ def budgeted_patch_encode(
         import numpy as np
 
         d = raw_batch.as_dict() if hasattr(raw_batch, "as_dict") else raw_batch
-        mask = np.asarray(d["box_mask"])
-        b = patch_budget(int(mask.sum()), mask.size)
-        if b < mask.size:
-            budget = b
+        mask = d["box_mask"]
+        # Budget selection is a HOST decision: only probe masks that are
+        # already host-resident (the real pipeline yields numpy). Pulling a
+        # device-resident mask would add a blocking D2H round-trip to every
+        # step — on a tunneled TPU that costs more than compaction saves.
+        if isinstance(mask, np.ndarray):
+            b = patch_budget(int(mask.sum()), mask.size)
+            if b < mask.size:
+                budget = b
     return get_step(budget)(clip_variables, device_batch)
 
 

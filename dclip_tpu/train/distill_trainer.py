@@ -175,8 +175,20 @@ class DistillTrainer(BaseTrainer):
 
         cfg = self.cfg = resolve_fast_paths(cfg, self.mesh.devices.flat[0].platform)
         dtype = jnp.dtype(cfg.compute_dtype)
-        self.student = CLIPModule(self.student_config, dtype=dtype, remat=cfg.remat)
-        self.teacher_clip = CLIPModule(self.teacher_clip_config, dtype=dtype)
+        # Pallas kernels need interpret mode off-TPU; decide by where this
+        # trainer's mesh actually executes (NOT jax.default_backend(): the
+        # default platform can be a TPU while the mesh is CPU).
+        self._pallas_interpret = self.mesh.devices.flat[0].platform != "tpu"
+        self.student = CLIPModule(
+            self.student_config, dtype=dtype, remat=cfg.remat,
+            fused_attention=cfg.use_pallas,
+            pallas_interpret=self._pallas_interpret,
+        )
+        self.teacher_clip = CLIPModule(
+            self.teacher_clip_config, dtype=dtype,
+            fused_attention=cfg.use_pallas,
+            pallas_interpret=self._pallas_interpret,
+        )
         self.teacher = PatchTextAggregation(cfg.teacher, dtype=dtype)
 
         self._unfrozen_extra: tuple = ()
@@ -190,10 +202,6 @@ class DistillTrainer(BaseTrainer):
         # update. donate=False on the student step because student params
         # may alias the teacher-CLIP variables (e.g. student initialized
         # from the same pretrained weights).
-        # Pallas kernels need interpret mode off-TPU; decide by where this
-        # trainer's mesh actually executes (NOT jax.default_backend(): the
-        # default platform can be a TPU while the mesh is CPU).
-        self._pallas_interpret = self.mesh.devices.flat[0].platform != "tpu"
         self._patch_encode_step = jax.jit(self._encode_patches_only)
         self._patch_encode_compact_steps: Dict[int, Any] = {}
         self._teacher_tail_step = jax.jit(self._teacher_tail)
@@ -440,6 +448,21 @@ class DistillTrainer(BaseTrainer):
     # holds the teacher side — they are most of the batch bytes.
     _STUDENT_FIELDS = ("pixel_values", "input_ids", "attention_mask")
 
+    @staticmethod
+    def _cacheable(d) -> bool:
+        """Cache keys are a HOST computation over (index, input_ids); only
+        engage the cache when both are host-resident numpy (the real
+        pipeline's layout). Hashing device arrays would add a blocking D2H
+        round-trip per step — costlier than a cache hit saves on a
+        tunneled chip."""
+        import numpy as np
+
+        return (
+            "index" in d
+            and isinstance(d["index"], np.ndarray)
+            and isinstance(d["input_ids"], np.ndarray)
+        )
+
     def _get_teacher_targets(self, raw_batch, device_batch, keys=None,
                              probe_full=True):
         """Teacher targets with a two-level cache.
@@ -455,7 +478,7 @@ class DistillTrainer(BaseTrainer):
         patch_keys = None
         if self.teacher_cache is not None:
             d = raw_batch.as_dict() if hasattr(raw_batch, "as_dict") else raw_batch
-            if "index" in d:
+            if self._cacheable(d):
                 if keys is None:
                     keys = self.teacher_cache.keys_for(d)
                 if probe_full:
@@ -500,7 +523,7 @@ class DistillTrainer(BaseTrainer):
         d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
         cached = None
         keys = None
-        if self.teacher_cache is not None and "index" in d:
+        if self.teacher_cache is not None and self._cacheable(d):
             keys = self.teacher_cache.keys_for(d)
             cached = self.teacher_cache.get_batch(keys)
         if cached is not None:

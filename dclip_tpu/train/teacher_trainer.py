@@ -70,7 +70,12 @@ class TeacherTrainer(BaseTrainer):
 
         cfg = self.cfg = resolve_fast_paths(cfg, self.mesh.devices.flat[0].platform)
         dtype = jnp.dtype(cfg.compute_dtype)
-        self.clip = CLIPModule(self.clip_config, dtype=dtype)
+        self._pallas_interpret = self.mesh.devices.flat[0].platform != "tpu"
+        self.clip = CLIPModule(
+            self.clip_config, dtype=dtype,
+            fused_attention=cfg.use_pallas,
+            pallas_interpret=self._pallas_interpret,
+        )
         self.teacher = PatchTextAggregation(cfg.teacher, dtype=dtype)
 
         if teacher_params is None:
@@ -92,7 +97,6 @@ class TeacherTrainer(BaseTrainer):
         self.state = TrainState.create(teacher_params, self.tx)
         self.clip_variables = clip_variables
         self._put_replicated()
-        self._pallas_interpret = self.mesh.devices.flat[0].platform != "tpu"
         self._train_step = make_train_step(self._loss, self.tx)
         self._eval_loss = jax.jit(self._loss)
         self._batch_sharding = batch_sharding(self.mesh, cfg.mesh.data_axis)

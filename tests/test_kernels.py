@@ -186,3 +186,82 @@ def test_topk_streamed_negative_scores_and_padding():
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
     assert (np.asarray(got_i) < 130).all()
+
+
+def test_vit_self_attention_fused_matches_xla():
+    """Fused ViT self-attention (interpret mode) == the Flax Attention
+    module's math, odd sequence length included (S=197-style)."""
+    from dclip_tpu.kernels.vit_attention import (
+        _xla_attention,
+        self_attention_fused,
+    )
+
+    rng = np.random.RandomState(0)
+    b, s, d, heads = 3, 13, 32, 4
+    q = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    got = self_attention_fused(q, k, v, num_heads=heads, interpret=True)
+    ref = _xla_attention(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_vit_self_attention_trainable_grads():
+    """Custom-VJP (Pallas fwd + XLA recompute bwd) gradients == plain XLA."""
+    from dclip_tpu.kernels.vit_attention import (
+        _xla_attention,
+        self_attention_trainable,
+    )
+
+    rng = np.random.RandomState(1)
+    b, s, d, heads = 2, 9, 16, 2
+    q = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+
+    def loss_fused(q, k, v):
+        return jnp.sum(
+            self_attention_trainable(q, k, v, num_heads=heads, interpret=True) ** 2
+        )
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, heads) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_clip_module_fused_attention_parity():
+    """CLIPModule(fused_attention=True) == the XLA module bit-for-bit on
+    image features AND their gradients (interpret mode on CPU)."""
+    from dclip_tpu.core.config import CLIPConfig
+    from dclip_tpu.models.clip import CLIPModule
+
+    cfg = CLIPConfig.tiny_test()
+    m0 = CLIPModule(cfg)
+    m1 = CLIPModule(cfg, fused_attention=True, pallas_interpret=True)
+    v = m0.init(
+        jax.random.PRNGKey(0),
+        jnp.ones((2, cfg.text.max_length), jnp.int32),
+        jnp.zeros((2, cfg.vision.image_size, cfg.vision.image_size, 3)),
+    )
+    px = jnp.asarray(
+        np.random.RandomState(0)
+        .randn(4, cfg.vision.image_size, cfg.vision.image_size, 3)
+        .astype(np.float32)
+    )
+    a = m0.apply(v, px, method=m0.get_image_features)
+    b = m1.apply(v, px, method=m1.get_image_features)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    def loss(p, mod):
+        return jnp.sum(
+            mod.apply({"params": p}, px, method=mod.get_image_features) ** 2
+        )
+
+    g0 = jax.grad(loss)(v["params"], m0)
+    g1 = jax.grad(loss)(v["params"], m1)
+    for x, y in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-6)
