@@ -39,12 +39,20 @@ def main() -> None:
 
 
 def _time_steps(step_fn, n_steps: int) -> float:
-    # Per-step host sync: the tunneled backend reports bogus times when
-    # only the final array of a long async chain is blocked on.
+    """Chained steps with ONE final sync.
+
+    Steps are data-dependent through trainer.state, so blocking on the
+    last step's loss forces the entire chain to execute — verified against
+    per-step syncing (same per-step time + exactly one tunnel round-trip).
+    A per-step host sync would charge the tunnel's ~26 ms D2H latency to
+    every step, which a production loop (async dispatch, rare log-point
+    syncs) never pays."""
+    metrics = step_fn()
+    float(metrics["loss"])  # drain any queued work before the clock starts
     t0 = time.perf_counter()
     for _ in range(n_steps):
         metrics = step_fn()
-        float(metrics["loss"])
+    float(metrics["loss"])
     return time.perf_counter() - t0
 
 
