@@ -20,6 +20,7 @@ def make_image_encoder(
     batch_size: int = 256,
     mesh=None,
     data_axis: str = "data",
+    fused: bool | None = None,
 ) -> Callable[[Sequence[np.ndarray]], np.ndarray]:
     """Returns encode(pixels) mapping a list/array of preprocessed NHWC
     images -> [N, D] features, in fixed-size jitted batches (the tail batch
@@ -27,7 +28,12 @@ def make_image_encoder(
 
     With a `mesh`, batches are sharded over its data axis and params
     replicated — multi-chip eval embedding with zero code change in the
-    model (XLA inserts the collectives)."""
+    model (XLA inserts the collectives).
+
+    `fused=None` auto-selects the fully fused encoder-block kernels
+    (kernels.vit_block) on single-device TPU bf16 runs — the cropless
+    forward is where they win (~16% on B/16) — and keeps the module path
+    everywhere else (f32 eval, CPU, sharded meshes)."""
     if mesh is not None:
         from dclip_tpu.parallel.mesh import batch_sharding, replicate_tree
 
@@ -40,7 +46,26 @@ def make_image_encoder(
             )
     else:
         in_sharding = None
-    fwd = jax.jit(lambda v, p: model.apply(v, p, method=model.get_image_features))
+    if fused is None:
+        try:
+            on_tpu = mesh is None and jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        fused = on_tpu and model.dtype == jnp.bfloat16
+        if fused:
+            from dclip_tpu.kernels import pallas_available
+
+            fused = pallas_available()
+    if fused:
+        from dclip_tpu.kernels.vit_block import fused_image_features
+
+        fwd = jax.jit(
+            lambda v, p: fused_image_features(model.cfg, v, p, dtype=model.dtype)
+        )
+    else:
+        fwd = jax.jit(
+            lambda v, p: model.apply(v, p, method=model.get_image_features)
+        )
 
     def encode(pixels: Sequence[np.ndarray]) -> np.ndarray:
         out = []

@@ -105,18 +105,26 @@ def encode_patches(
     boxes: jnp.ndarray,  # [B, P, 4] xyxy pixel coords
     patch_mask: jnp.ndarray,  # [B, P], 1 = valid box
     patch_size: int = 224,
+    image_features_fn=None,
 ) -> jnp.ndarray:
     """All region crops -> CLIP patch embeddings in one batched forward.
 
     Returns [B, P, projection_dim]; invalid slots are zeroed (the reference's
     zero-tensor fallback, patch_text_aggregation.py:506, made explicit).
+
+    `image_features_fn(variables, pixels) -> [N, D]` overrides the module
+    forward (e.g. the fused-block frozen path,
+    kernels.vit_block.fused_image_features).
     """
     b, p = boxes.shape[:2]
     patches = batch_crop_resize_normalize(images, boxes, patch_size)
     flat = patches.reshape(b * p, patch_size, patch_size, 3)
-    emb = clip_model.apply(
-        clip_variables, flat, method=clip_model.get_image_features
-    ).reshape(b, p, -1)
+    if image_features_fn is not None:
+        emb = image_features_fn(clip_variables, flat).reshape(b, p, -1)
+    else:
+        emb = clip_model.apply(
+            clip_variables, flat, method=clip_model.get_image_features
+        ).reshape(b, p, -1)
     return emb * patch_mask[..., None]
 
 
@@ -162,6 +170,7 @@ def encode_patches_compact(
     patch_mask: jnp.ndarray,  # [B, P]
     patch_size: int = 224,
     budget: int = 0,
+    image_features_fn=None,
 ) -> jnp.ndarray:
     """`encode_patches` that runs the ViT over only `budget` patch slots.
 
@@ -180,7 +189,8 @@ def encode_patches_compact(
     b, p = boxes.shape[:2]
     if budget <= 0 or budget >= b * p:
         return encode_patches(
-            clip_model, clip_variables, images, boxes, patch_mask, patch_size
+            clip_model, clip_variables, images, boxes, patch_mask, patch_size,
+            image_features_fn,
         )
     flat_mask = patch_mask.reshape(-1)
     order = jnp.argsort(-flat_mask)  # valid slots first, stable
@@ -190,9 +200,12 @@ def encode_patches_compact(
     crops = jax.vmap(crop_resize, in_axes=(0, 0, None))(
         images[img_idx], sel_boxes, patch_size
     )
-    emb = clip_model.apply(
-        clip_variables, normalize(crops), method=clip_model.get_image_features
-    )
+    if image_features_fn is not None:
+        emb = image_features_fn(clip_variables, normalize(crops))
+    else:
+        emb = clip_model.apply(
+            clip_variables, normalize(crops), method=clip_model.get_image_features
+        )
     d = emb.shape[-1]
     emb = emb * flat_mask[sel][:, None]
     out = jnp.zeros((b * p, d), emb.dtype).at[sel].set(emb)

@@ -47,6 +47,7 @@ def budgeted_patch_encode(
     device_batch,
     jit_cache: Dict[int, object],
     compact: bool,
+    image_features_fn=None,
 ):
     """Patch-encode with optional crop compaction (shared by both trainers).
 
@@ -69,6 +70,7 @@ def budgeted_patch_encode(
                         batch["teacher_pixels"], batch["boxes"],
                         batch["box_mask"],
                         patch_size=clip_config.vision.image_size,
+                        image_features_fn=image_features_fn,
                     )
 
                 step = jax.jit(_dense)
@@ -80,6 +82,7 @@ def budgeted_patch_encode(
                         batch["box_mask"],
                         patch_size=clip_config.vision.image_size,
                         budget=_budget,
+                        image_features_fn=image_features_fn,
                     )
 
                 step = jax.jit(_compact)

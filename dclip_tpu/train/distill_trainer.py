@@ -190,6 +190,13 @@ class DistillTrainer(BaseTrainer):
             pallas_interpret=self._pallas_interpret,
         )
         self.teacher = PatchTextAggregation(cfg.teacher, dtype=dtype)
+        # Region-encode kernel choice (measured on v5e, 512 crops):
+        # fused ATTENTION inside the module wins when a crop-resize feeds
+        # the ViT (XLA fuses the gather into its own ops; 143 ms) over the
+        # fully fused block kernels (152 ms — the XLA->Pallas boundary
+        # materializes the crop). kernels.vit_block serves the cropless
+        # eval forwards instead, where it wins (120 vs 139 ms).
+        self._frozen_image_features = None
 
         self._unfrozen_extra: tuple = ()
         self._build_optimizer(student_variables["params"])
@@ -319,6 +326,7 @@ class DistillTrainer(BaseTrainer):
             batch["boxes"],
             batch["box_mask"],
             patch_size=self.teacher_clip_config.vision.image_size,
+            image_features_fn=self._frozen_image_features,
         )
 
     def _teacher_tail(self, teacher_clip_variables, teacher_params, pe, batch):
@@ -392,6 +400,7 @@ class DistillTrainer(BaseTrainer):
             self.teacher_clip_variables, raw_batch, device_batch,
             self._patch_encode_compact_steps,
             compact=self._compact,
+            image_features_fn=self._frozen_image_features,
         )
         return self._maybe_knn_gate(pe, device_batch)
 

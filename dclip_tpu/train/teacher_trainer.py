@@ -77,6 +77,10 @@ class TeacherTrainer(BaseTrainer):
             pallas_interpret=self._pallas_interpret,
         )
         self.teacher = PatchTextAggregation(cfg.teacher, dtype=dtype)
+        # Region encode keeps the fused-ATTENTION module path: measured
+        # faster than full block kernels when fed by the crop-resize (see
+        # distill_trainer for the numbers).
+        self._frozen_image_features = None
 
         if teacher_params is None:
             d = cfg.teacher.embed_dim
@@ -209,6 +213,7 @@ class TeacherTrainer(BaseTrainer):
             self.clip, self.clip_config, self.clip_variables,
             batch, device_batch, self._patch_jits,
             compact=self._compact,
+            image_features_fn=self._frozen_image_features,
         )
         return self._maybe_knn_gate(pe, device_batch)
 

@@ -265,3 +265,76 @@ def test_clip_module_fused_attention_parity():
     g1 = jax.grad(loss)(v["params"], m1)
     for x, y in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-6)
+
+
+def test_fused_encoder_blocks_match_flax_module():
+    """Fully fused LN+attention+residual / LN+MLP+residual block kernels
+    (interpret mode) == the Flax encoder, and the end-to-end
+    fused_image_features == CLIPModule.get_image_features bit-for-bit at
+    f32."""
+    from dclip_tpu.core.config import CLIPConfig
+    from dclip_tpu.kernels.vit_block import (
+        attention_block_fused,
+        fused_image_features,
+        mlp_block_fused,
+    )
+    from dclip_tpu.models.clip import CLIPModule, EncoderLayer
+
+    rng = np.random.RandomState(0)
+    d, heads, mlp, s, b = 32, 4, 64, 13, 3
+    layer = EncoderLayer(d, heads, mlp, eps=1e-5)
+    x = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    params = layer.init(jax.random.PRNGKey(0), x)["params"]
+    ref = layer.apply({"params": params}, x)
+    got = mlp_block_fused(
+        attention_block_fused(x, params, heads, 1e-5, interpret=True),
+        params, 1e-5, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    cfg = CLIPConfig.tiny_test()
+    m = CLIPModule(cfg)
+    v = m.init(
+        jax.random.PRNGKey(0),
+        jnp.ones((2, cfg.text.max_length), jnp.int32),
+        jnp.zeros((2, cfg.vision.image_size, cfg.vision.image_size, 3)),
+    )
+    px = jnp.asarray(
+        rng.randn(4, cfg.vision.image_size, cfg.vision.image_size, 3).astype(
+            np.float32
+        )
+    )
+    a = m.apply(v, px, method=m.get_image_features)
+    bb = fused_image_features(cfg, v, px, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_image_features_vmem_fallback(monkeypatch):
+    """Configs whose blocks exceed per-program VMEM (ViT-L/14 MLP) fall
+    back to XLA per block — numerics unchanged."""
+    from dclip_tpu.core.config import CLIPConfig
+    from dclip_tpu.kernels import vit_block
+
+    cfg = CLIPConfig.tiny_test()
+    from dclip_tpu.models.clip import CLIPModule
+
+    m = CLIPModule(cfg)
+    v = m.init(
+        jax.random.PRNGKey(0),
+        jnp.ones((2, cfg.text.max_length), jnp.int32),
+        jnp.zeros((2, cfg.vision.image_size, cfg.vision.image_size, 3)),
+    )
+    px = jnp.asarray(
+        np.random.RandomState(1)
+        .randn(3, cfg.vision.image_size, cfg.vision.image_size, 3)
+        .astype(np.float32)
+    )
+    ref = m.apply(v, px, method=m.get_image_features)
+    monkeypatch.setattr(vit_block, "_VMEM_BUDGET", 1)  # force full fallback
+    got = vit_block.fused_image_features(cfg, v, px, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+    # ViT-L/14 must select the MLP fallback (16.8 MB of fc weights in bf16).
+    monkeypatch.undo()
+    l14 = CLIPConfig.vit_l_14().vision
+    attn_ok, mlp_ok = vit_block.block_fit(257, l14.hidden_size, l14.mlp_dim, 2)
+    assert not mlp_ok
