@@ -104,6 +104,87 @@ def _xla_attention(q, k, v, num_heads):
     return out.transpose(0, 2, 1, 3).reshape(b, s, d).astype(q.dtype)
 
 
+def _bwd_kernel(num_heads: int, scale: float,
+                q_ref, k_ref, v_ref, g_ref,
+                dq_ref, dk_ref, dv_ref):
+    """Flash-style recompute backward, one batch row per program.
+
+    Per head: recompute P = softmax(scale·q k^T); then
+      dV = P^T g;  dP = g v^T;  dS = P ∘ (dP − rowsum(dP ∘ P));
+      dQ = scale·dS k;  dK = scale·dS^T q.
+    Everything ([S, S] included) stays VMEM-resident — the XLA backward
+    materialized probs/dS per (batch, head) in HBM."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    d = q.shape[-1]
+    head_dim = d // num_heads
+    dqs, dks, dvs = [], [], []
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh, kh, vh, gh = q[:, sl], k[:, sl], v[:, sl], g[:, sl]
+        logits = jax.lax.dot_general(
+            qh * scale, kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = jax.nn.softmax(logits, axis=-1)  # [S, S]
+        dv = jax.lax.dot_general(  # P^T g -> [S, hd]
+            p, gh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(  # g v^T -> [S, S]
+            gh, vh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = scale * jnp.dot(ds, kh, preferred_element_type=jnp.float32)
+        dk = scale * jax.lax.dot_general(  # dS^T q -> [S, hd]
+            ds, qh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def self_attention_bwd_fused(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    g: jnp.ndarray,
+    num_heads: int,
+    interpret: bool = False,
+):
+    """(dq, dk, dv) for softmax(scale·qk^T)v, fused per batch row."""
+    b, s, d = q.shape
+    scale = (d // num_heads) ** -0.5
+    row = lambda i: (i, 0, 0)  # noqa: E731
+    spec = pl.BlockSpec((1, s, d), row, memory_space=pltpu.VMEM)
+    shapes = tuple(jax.ShapeDtypeStruct((b, s, d), t.dtype) for t in (q, k, v))
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, num_heads, scale),
+        grid=(b,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=shapes,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * s * s * d,
+            bytes_accessed=7 * b * s * d * q.dtype.itemsize,
+            transcendentals=b * s * s,
+        ),
+    )(q, k, v, g)
+
+
 def self_attention_trainable(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -111,8 +192,9 @@ def self_attention_trainable(
     num_heads: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Differentiable fused attention: Pallas forward + rematerialized XLA
-    backward (nothing but q/k/v saved — flash-style recompute)."""
+    """Differentiable fused attention: Pallas forward + Pallas flash-style
+    recompute backward (nothing but q/k/v saved; no [B, h, S, S] tensor
+    ever reaches HBM in either direction)."""
 
     @jax.custom_vjp
     def fwd_fn(q, k, v):
@@ -124,8 +206,9 @@ def self_attention_trainable(
 
     def bwd(res, g):
         q, k, v = res
-        _, vjp = jax.vjp(lambda a, b, c: _xla_attention(a, b, c, num_heads), q, k, v)
-        dq, dk, dv = vjp(g.astype(q.dtype))
+        dq, dk, dv = self_attention_bwd_fused(
+            q, k, v, g.astype(q.dtype), num_heads=num_heads, interpret=interpret
+        )
         return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
     fwd_fn.defvjp(fwd, bwd)

@@ -263,8 +263,11 @@ def test_clip_module_fused_attention_parity():
 
     g0 = jax.grad(loss)(v["params"], m0)
     g1 = jax.grad(loss)(v["params"], m1)
+    # atol 1e-5: the Pallas backward reorders f32 accumulations, and
+    # cancellation-dominated near-zero grads (class_embedding ~1e-7) can
+    # differ by a few ulp-equivalents.
     for x, y in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5)
 
 
 def test_fused_encoder_blocks_match_flax_module():
