@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--teacher_cache", default=None,
                    help="path for the cross-epoch teacher-target cache "
                         "(native KV store); 'memory' for in-process only")
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="decode worker processes (0 = threads only); the "
+                        "reference's DataLoader(num_workers=...)")
     p.add_argument("--max_patches", type=int, default=8)
     p.add_argument("--teacher_image_size", type=int, default=224)
     p.add_argument("--compute_dtype", default="auto",
@@ -186,6 +189,7 @@ def main(argv=None) -> int:
             teacher_image_size=args.teacher_image_size,
             max_text_tokens=student_cfg.text.max_length,
             seed=cfg.seed,
+            num_workers=args.num_workers,
         )
 
     train_pipe = pipeline_for(cfg.train_file, cfg.train_batch_size)

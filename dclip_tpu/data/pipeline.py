@@ -22,7 +22,14 @@ pipeline"):
 
 Decode + preprocess runs in a thread pool with a bounded prefetch queue;
 batches are plain numpy, ready for `jax.device_put` (the trainer overlaps
-H2D with the previous step automatically via async dispatch).
+H2D with the previous step automatically via async dispatch). For hosts
+where PIL decode saturates the GIL (one thread pool can't feed a ~300
+img/s chip), `num_workers > 0` adds a spawned process pool — the
+TPU-native analogue of the reference's `DataLoader(num_workers=4)` +
+`mp.set_start_method('spawn')` (train_contrastive_teacher.py:211,
+CLIP_image_distill_training.py:53) — with the same deterministic
+per-(seed, epoch, index) item derivation, so worker count never changes
+the data stream.
 """
 from __future__ import annotations
 
@@ -83,6 +90,19 @@ def squash_resize(image, size: int) -> np.ndarray:
     return arr / 255.0
 
 
+_WORKER_PIPELINE: Optional["MultiModalPipeline"] = None
+
+
+def _worker_init(pipeline: "MultiModalPipeline") -> None:
+    global _WORKER_PIPELINE
+    _WORKER_PIPELINE = pipeline
+
+
+def _worker_load(args):
+    idx, epoch = args
+    return _WORKER_PIPELINE._load_item(idx, epoch)
+
+
 class MultiModalPipeline:
     """Deterministic epoch iterator over corpus records."""
 
@@ -101,6 +121,7 @@ class MultiModalPipeline:
         num_threads: int = 8,
         prefetch: int = 4,
         shuffle: bool = True,
+        num_workers: int = 0,
     ):
         self.items = list(items)
         self.tokenizer = tokenizer
@@ -115,6 +136,43 @@ class MultiModalPipeline:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.shuffle = shuffle
+        self.num_workers = num_workers
+        self._pool = None
+
+    def _get_pool(self):
+        """Spawned process pool, created lazily and reused across epochs.
+
+        Spawn (not fork): the parent holds accelerator-client threads, and
+        forking those is deadlock-prone — the same reason the reference
+        sets 'spawn' (CLIP_image_distill_training.py:53). Workers receive
+        a pickled copy of this pipeline (items, tokenizer, detection cache
+        are all plain data) via the initializer, paying the pickle once
+        per worker instead of once per item."""
+        if self._pool is None:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(
+                self.num_workers, initializer=_worker_init, initargs=(self,)
+            )
+        return self._pool
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_pool"] = None  # pools are process-local
+        return state
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):  # noqa: D105 - best-effort cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         n = len(self.items)
@@ -177,6 +235,13 @@ class MultiModalPipeline:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def load_batch(pool, idxs):
+            if self.num_workers > 0:
+                return self._get_pool().map(
+                    _worker_load, [(int(i), epoch) for i in idxs]
+                )
+            return list(pool.map(lambda i: self._load_item(int(i), epoch), idxs))
+
         def producer():
             # Exceptions are forwarded to the consumer and re-raised there:
             # a silently dying producer would truncate every epoch at the
@@ -187,8 +252,7 @@ class MultiModalPipeline:
                         if stop.is_set():
                             return
                         idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-                        items = list(pool.map(lambda i: self._load_item(int(i), epoch), idxs))
-                        q.put(self._collate(items))
+                        q.put(self._collate(load_batch(pool, idxs)))
                 q.put(None)
             except BaseException as e:  # noqa: BLE001 - forwarded, not swallowed
                 q.put(e)

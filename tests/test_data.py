@@ -328,3 +328,41 @@ def test_print_dataset_stats_smoke(capsys):
     assert "Total images: 2" in out
     assert "Images with bounding boxes: 1 (50.00%)" in out
     assert "- Total captions: 3" in out
+
+
+@pytest.mark.slow
+def test_pipeline_num_workers_deterministic(tmp_path):
+    """Spawned worker processes yield the exact same batches as the
+    thread-only pipeline: worker count never changes the data stream
+    (deterministic per-(seed, epoch, index) item derivation)."""
+    from PIL import Image
+
+    from dclip_tpu.data.pipeline import MultiModalPipeline
+    from dclip_tpu.data.tokenizer import HashTokenizer
+
+    rng = np.random.RandomState(0)
+    items = []
+    for i in range(8):
+        p = str(tmp_path / f"w{i}.png")
+        Image.fromarray((rng.rand(24, 30, 3) * 255).astype("uint8")).save(p)
+        items.append(
+            {"image_path": p, "captions": [f"cap a {i}", f"cap b {i}"],
+             "dataset": "syn", "boxes": []}
+        )
+    tok = HashTokenizer(vocab_size=100, max_length=8)
+
+    def run(num_workers):
+        pipe = MultiModalPipeline(
+            items, tok, batch_size=4, max_patches=2, image_size=16,
+            teacher_image_size=16, seed=7, num_workers=num_workers,
+        )
+        batches = [b.as_dict() for b in pipe.epoch(1)]
+        pipe.close()
+        return batches
+
+    base = run(0)
+    multi = run(2)
+    assert len(base) == len(multi) == 2
+    for a, b in zip(base, multi):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
