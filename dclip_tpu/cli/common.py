@@ -47,13 +47,23 @@ def mesh_config(args) -> MeshConfig:
 
 
 def load_clip(
-    preset: str, weights: str, seed: int = 0
+    preset: str, weights: str, seed: int = 0, compute_dtype: str = "float32"
 ) -> Tuple[CLIPConfig, CLIPModule, Dict[str, Any]]:
-    """Build a CLIPModule + variables from a preset and a weights source."""
+    """Build a CLIPModule + variables from a preset and a weights source.
+
+    compute_dtype: "auto" = bfloat16 on TPU else float32. Params are always
+    stored float32; bf16 affects activation compute only (and lets eval
+    image embedding pick the fused encoder-block kernels)."""
     import jax.numpy as jnp
 
     cfg = CLIPConfig.from_name(preset)
-    model = CLIPModule(cfg)
+    if compute_dtype == "auto":
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        compute_dtype = "bfloat16" if on_tpu else "float32"
+    model = CLIPModule(cfg, dtype=jnp.dtype(compute_dtype))
     if weights == "random":
         variables = model.init(
             jax.random.PRNGKey(seed),

@@ -25,13 +25,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", choices=["base", "custom", "both"], default="both")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="bfloat16 enables the fused-block TPU eval path; "
+                        "float32 (default) matches the reference numerics")
     add_model_args(p)
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    cfg, model, variables = load_clip(args.model_preset, args.clip_weights, args.seed)
+    cfg, model, variables = load_clip(args.model_preset, args.clip_weights,
+                                  args.seed, args.compute_dtype)
     tokenizer = load_tokenizer(args.tokenizer_dir, cfg.text.max_length)
     items = load_eval_items(args.dataset_json, args.max_images)
     print(f"Evaluating on {len(items)} images")

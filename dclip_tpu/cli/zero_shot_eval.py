@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", choices=["base", "custom", "both"], default="both")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="bfloat16 = faster TPU eval; float32 (default) "
+                        "matches the reference numerics")
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--results_file", default=None,
                    help="defaults to the reference filename for the dataset")
@@ -76,7 +80,8 @@ def _batches(args, image_size):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    cfg, model, variables = load_clip(args.model_preset, args.clip_weights, args.seed)
+    cfg, model, variables = load_clip(args.model_preset, args.clip_weights,
+                                  args.seed, args.compute_dtype)
     tokenizer = load_tokenizer(args.tokenizer_dir, cfg.text.max_length)
     classnames, batches = _batches(args, cfg.vision.image_size)
     if args.classnames_file:

@@ -15,12 +15,13 @@ The QKV/output projections stay in XLA: they are plain GEMMs the MXU
 already runs at speed-of-light, and XLA fuses the bias adds.
 
 `self_attention_trainable` wraps the kernel in a custom VJP whose backward
-recomputes attention in XLA (flash-style recompute: nothing but q/k/v is
-saved), so the student's differentiable path can use it too.
+is a second Pallas kernel recomputing P in VMEM and emitting dq/dk/dv
+(flash-style: nothing but q/k/v is saved, no [B, h, S, S] tensor reaches
+HBM in either direction).
 
-Unmasked only: the vision encoder has no padding and no causality
-(models/clip.py CLIPVisionEncoder); the text encoder (masked, S=77, ~6% of
-step FLOPs) keeps the XLA path.
+Masking: `causal=True` applies the autoregressive mask in-kernel (iota
+comparison — the CLIP text encoder is causal, models/clip.py) and
+`padding_mask` [B, S] masks key positions, so BOTH encoders run fused.
 """
 from __future__ import annotations
 
@@ -33,7 +34,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(num_heads: int, scale: float, q_ref, k_ref, v_ref, o_ref):
+_NEG = -1e30
+
+
+def _mask_logits(logits, causal: bool, pad_row):
+    """Apply causal / key-padding masks to one [S, S] logits tile."""
+    s = logits.shape[0]
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        logits = jnp.where(col <= row, logits, _NEG)
+    if pad_row is not None:
+        logits = jnp.where(pad_row[None, :] > 0, logits, _NEG)
+    return logits
+
+
+def _kernel(num_heads: int, scale: float, causal: bool, use_pad: bool, *refs):
+    if use_pad:
+        q_ref, k_ref, v_ref, pad_ref, o_ref = refs
+        pad_row = pad_ref[pl.program_id(0), :]
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        pad_row = None
     q = q_ref[0].astype(jnp.float32)  # [S, D]
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
@@ -48,31 +70,45 @@ def _kernel(num_heads: int, scale: float, q_ref, k_ref, v_ref, o_ref):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [S, S]
-        probs = jax.nn.softmax(logits, axis=-1)
+        probs = jax.nn.softmax(_mask_logits(logits, causal, pad_row), axis=-1)
         outs.append(
             jnp.dot(probs, v[:, sl], preferred_element_type=jnp.float32)
         )
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "causal", "interpret")
+)
 def self_attention_fused(
     q: jnp.ndarray,  # [B, S, D] (post q_proj)
     k: jnp.ndarray,  # [B, S, D]
     v: jnp.ndarray,  # [B, S, D]
     num_heads: int,
+    padding_mask: Optional[jnp.ndarray] = None,  # [B, S], 1 = valid key
+    causal: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """softmax(q k^T / sqrt(hd)) v per head, fused per batch row."""
+    """softmax(mask(q k^T / sqrt(hd))) v per head, fused per batch row."""
     b, s, d = q.shape
     scale = (d // num_heads) ** -0.5
     row = lambda i: (i, 0, 0)  # noqa: E731
     spec = pl.BlockSpec((1, s, d), row, memory_space=pltpu.VMEM)
+    in_specs = [spec, spec, spec]
+    inputs = [q, k, v]
+    use_pad = padding_mask is not None
+    if use_pad:
+        # Full [B, S] block (a [1, S] block would break lane tiling);
+        # the kernel selects its program row.
+        in_specs.append(
+            pl.BlockSpec((b, s), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(padding_mask.astype(jnp.float32))
     flops = 2 * 2 * s * s * d  # QK^T + PV
     return pl.pallas_call(
-        functools.partial(_kernel, num_heads, scale),
+        functools.partial(_kernel, num_heads, scale, causal, use_pad),
         grid=(b,),
-        in_specs=[spec, spec, spec],
+        in_specs=in_specs,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, s, d), q.dtype),
         interpret=interpret,
@@ -81,11 +117,11 @@ def self_attention_fused(
             bytes_accessed=4 * b * s * d * q.dtype.itemsize,
             transcendentals=b * s * s,
         ),
-    )(q, k, v)
+    )(*inputs)
 
 
-def _xla_attention(q, k, v, num_heads):
-    """XLA twin (the recompute backward + the parity reference)."""
+def _xla_attention(q, k, v, num_heads, padding_mask=None, causal=False):
+    """XLA twin (the parity reference)."""
     b, s, d = q.shape
     head_dim = d // num_heads
 
@@ -99,21 +135,35 @@ def _xla_attention(q, k, v, num_heads):
         "bhqd,bhkd->bhqk", qh * head_dim**-0.5, kh,
         preferred_element_type=jnp.float32,
     )
+    if causal:
+        cm = jnp.tril(jnp.ones((s, s), bool))
+        logits = jnp.where(cm[None, None], logits, _NEG)
+    if padding_mask is not None:
+        logits = jnp.where(
+            padding_mask[:, None, None, :] > 0, logits, _NEG
+        )
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
     return out.transpose(0, 2, 1, 3).reshape(b, s, d).astype(q.dtype)
 
 
-def _bwd_kernel(num_heads: int, scale: float,
-                q_ref, k_ref, v_ref, g_ref,
-                dq_ref, dk_ref, dv_ref):
+def _bwd_kernel(num_heads: int, scale: float, causal: bool, use_pad: bool,
+                *refs):
     """Flash-style recompute backward, one batch row per program.
 
-    Per head: recompute P = softmax(scale·q k^T); then
+    Per head: recompute P = softmax(mask(scale·q k^T)); then
       dV = P^T g;  dP = g v^T;  dS = P ∘ (dP − rowsum(dP ∘ P));
       dQ = scale·dS k;  dK = scale·dS^T q.
-    Everything ([S, S] included) stays VMEM-resident — the XLA backward
-    materialized probs/dS per (batch, head) in HBM."""
+    Masked positions have P = 0, so dS vanishes there — no explicit mask
+    is needed in the backward formulas. Everything ([S, S] included) stays
+    VMEM-resident — the XLA backward materialized probs/dS per
+    (batch, head) in HBM."""
+    if use_pad:
+        q_ref, k_ref, v_ref, g_ref, pad_ref, dq_ref, dk_ref, dv_ref = refs
+        pad_row = pad_ref[pl.program_id(0), :]
+    else:
+        q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref = refs
+        pad_row = None
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
@@ -129,7 +179,9 @@ def _bwd_kernel(num_heads: int, scale: float,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        p = jax.nn.softmax(logits, axis=-1)  # [S, S]
+        p = jax.nn.softmax(
+            _mask_logits(logits, causal, pad_row), axis=-1
+        )  # [S, S]
         dv = jax.lax.dot_general(  # P^T g -> [S, hd]
             p, gh,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -155,25 +207,37 @@ def _bwd_kernel(num_heads: int, scale: float,
     dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "causal", "interpret")
+)
 def self_attention_bwd_fused(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     g: jnp.ndarray,
     num_heads: int,
+    padding_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
     interpret: bool = False,
 ):
-    """(dq, dk, dv) for softmax(scale·qk^T)v, fused per batch row."""
+    """(dq, dk, dv) for softmax(mask(scale·qk^T))v, fused per batch row."""
     b, s, d = q.shape
     scale = (d // num_heads) ** -0.5
     row = lambda i: (i, 0, 0)  # noqa: E731
     spec = pl.BlockSpec((1, s, d), row, memory_space=pltpu.VMEM)
+    in_specs = [spec, spec, spec, spec]
+    inputs = [q, k, v, g]
+    use_pad = padding_mask is not None
+    if use_pad:
+        in_specs.append(
+            pl.BlockSpec((b, s), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(padding_mask.astype(jnp.float32))
     shapes = tuple(jax.ShapeDtypeStruct((b, s, d), t.dtype) for t in (q, k, v))
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, num_heads, scale),
+        functools.partial(_bwd_kernel, num_heads, scale, causal, use_pad),
         grid=(b,),
-        in_specs=[spec, spec, spec, spec],
+        in_specs=in_specs,
         out_specs=(spec, spec, spec),
         out_shape=shapes,
         interpret=interpret,
@@ -182,7 +246,7 @@ def self_attention_bwd_fused(
             bytes_accessed=7 * b * s * d * q.dtype.itemsize,
             transcendentals=b * s * s,
         ),
-    )(q, k, v, g)
+    )(*inputs)
 
 
 def self_attention_trainable(
@@ -190,26 +254,32 @@ def self_attention_trainable(
     k: jnp.ndarray,
     v: jnp.ndarray,
     num_heads: int,
+    padding_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Differentiable fused attention: Pallas forward + Pallas flash-style
     recompute backward (nothing but q/k/v saved; no [B, h, S, S] tensor
-    ever reaches HBM in either direction)."""
+    ever reaches HBM in either direction). The padding mask is a
+    non-differentiable input."""
 
     @jax.custom_vjp
-    def fwd_fn(q, k, v):
-        return self_attention_fused(q, k, v, num_heads=num_heads,
-                                    interpret=interpret)
+    def fwd_fn(q, k, v, padding_mask):
+        return self_attention_fused(
+            q, k, v, num_heads=num_heads, padding_mask=padding_mask,
+            causal=causal, interpret=interpret,
+        )
 
-    def fwd(q, k, v):
-        return fwd_fn(q, k, v), (q, k, v)
+    def fwd(q, k, v, padding_mask):
+        return fwd_fn(q, k, v, padding_mask), (q, k, v, padding_mask)
 
     def bwd(res, g):
-        q, k, v = res
+        q, k, v, padding_mask = res
         dq, dk, dv = self_attention_bwd_fused(
-            q, k, v, g.astype(q.dtype), num_heads=num_heads, interpret=interpret
+            q, k, v, g.astype(q.dtype), num_heads=num_heads,
+            padding_mask=padding_mask, causal=causal, interpret=interpret,
         )
-        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
 
     fwd_fn.defvjp(fwd, bwd)
-    return fwd_fn(q, k, v)
+    return fwd_fn(q, k, v, padding_mask)

@@ -53,25 +53,37 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused: bool = False
     interpret: bool = False
+    causal: bool = False
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
-        # x: [B, S, D]; mask: additive [B, 1, S, S] or broadcastable.
+    def __call__(self, x, padding_mask: Optional[jnp.ndarray] = None):
+        # x: [B, S, D]; padding_mask: [B, S], 1 = valid key position.
         head_dim = self.hidden // self.heads
         q = nn.Dense(self.hidden, dtype=self.dtype, name="q_proj")(x)
         k = nn.Dense(self.hidden, dtype=self.dtype, name="k_proj")(x)
         v = nn.Dense(self.hidden, dtype=self.dtype, name="v_proj")(x)
 
-        if self.fused and mask is None:
+        if self.fused:
             from dclip_tpu.kernels.vit_attention import self_attention_trainable
 
             out = self_attention_trainable(
-                q, k, v, num_heads=self.heads, interpret=self.interpret
+                q, k, v, num_heads=self.heads, padding_mask=padding_mask,
+                causal=self.causal, interpret=self.interpret,
             )
             return nn.Dense(self.hidden, dtype=self.dtype, name="out_proj")(out)
 
+        b, s, _ = x.shape
+        neg = jnp.finfo(jnp.float32).min
+        mask = None
+        if self.causal:
+            mask = jnp.triu(jnp.full((s, s), neg, dtype=jnp.float32), k=1)[
+                None, None, :, :
+            ]
+        if padding_mask is not None:
+            pad = jnp.where(padding_mask[:, None, None, :] > 0, 0.0, neg)
+            mask = pad if mask is None else mask + pad
+
         def split(t):
-            b, s, _ = t.shape
             return t.reshape(b, s, self.heads, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
@@ -96,14 +108,15 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused: bool = False
     interpret: bool = False
+    causal: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, padding_mask=None):
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm1")(x)
         x = x + Attention(
             self.hidden, self.heads, self.dtype, self.fused, self.interpret,
-            name="self_attn",
-        )(h, mask)
+            self.causal, name="self_attn",
+        )(h, padding_mask)
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm2")(x)
         x = x + MLP(self.mlp_dim, self.hidden, self.dtype, name="mlp")(h)
         return x
@@ -119,9 +132,10 @@ class Encoder(nn.Module):
     remat: bool = False
     fused: bool = False
     interpret: bool = False
+    causal: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, padding_mask=None):
         layer_cls = EncoderLayer
         if self.remat:
             layer_cls = nn.remat(EncoderLayer, static_argnums=())
@@ -134,8 +148,9 @@ class Encoder(nn.Module):
                 self.dtype,
                 self.fused,
                 self.interpret,
+                self.causal,
                 name=f"layers_{i}",
-            )(x, mask)
+            )(x, padding_mask)
         return x
 
 
@@ -143,6 +158,8 @@ class CLIPTextEncoder(nn.Module):
     cfg: CLIPTextConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    fused_attention: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask: Optional[jnp.ndarray] = None):
@@ -158,14 +175,9 @@ class CLIPTextEncoder(nn.Module):
         ).astype(self.dtype)
         x = tok + pos[None, :s, :]
 
-        # Causal mask (HF CLIP text encoder is causal) + optional padding mask.
-        neg = jnp.finfo(jnp.float32).min
-        causal = jnp.triu(jnp.full((s, s), neg, dtype=jnp.float32), k=1)
-        mask = causal[None, None, :, :]
-        if attention_mask is not None:
-            pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
-            mask = mask + pad
-
+        # HF CLIP text attention is causal; key padding comes from
+        # attention_mask. Both are applied inside Attention (additive mask
+        # on the XLA path, in-kernel iota/row masks on the fused path).
         x = Encoder(
             c.num_layers,
             c.hidden_size,
@@ -174,8 +186,11 @@ class CLIPTextEncoder(nn.Module):
             c.layer_norm_eps,
             self.dtype,
             self.remat,
+            self.fused_attention,
+            self.pallas_interpret,
+            causal=True,
             name="encoder",
-        )(x, mask)
+        )(x, attention_mask)
         x = nn.LayerNorm(
             epsilon=c.layer_norm_eps, dtype=self.dtype, name="final_layer_norm"
         )(x)
@@ -257,7 +272,10 @@ class CLIPModule(nn.Module):
     pallas_interpret: bool = False
 
     def setup(self):
-        self.text_model = CLIPTextEncoder(self.cfg.text, self.dtype, self.remat)
+        self.text_model = CLIPTextEncoder(
+            self.cfg.text, self.dtype, self.remat,
+            self.fused_attention, self.pallas_interpret,
+        )
         self.vision_model = CLIPVisionEncoder(
             self.cfg.vision, self.dtype, self.remat,
             self.fused_attention, self.pallas_interpret,
