@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
-
 from dclip_tpu.cli.common import add_model_args, load_clip, load_tokenizer, restore_student_params
 from dclip_tpu.eval.zero_shot import (
     CIFAR_PROMPT,

@@ -17,9 +17,8 @@ makes recomputation cheaper than the pickle/dbm round-trip it replaced.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

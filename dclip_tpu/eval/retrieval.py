@@ -14,7 +14,7 @@ ONE AT A TIME (:157,187-189); here both sides run as large jitted batches.
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

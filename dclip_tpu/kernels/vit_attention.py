@@ -26,7 +26,7 @@ comparison — the CLIP text encoder is causal, models/clip.py) and
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import tempfile
 import threading
 from typing import List, Optional, Tuple
 

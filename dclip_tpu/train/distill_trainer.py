@@ -24,13 +24,13 @@ One jitted step; teacher forwards run under stop_gradient (the functional
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from dclip_tpu.core.config import CLIPConfig, DistillConfig
-from dclip_tpu.core.metrics import MetricsLogger, trace_span
+from dclip_tpu.core.metrics import trace_span
 from dclip_tpu.models.clip import CLIPModule
 from dclip_tpu.models.teacher import (
     PatchTextAggregation,

@@ -19,20 +19,16 @@ global [B, B] contrastive matrix emerges from XLA's all-gather under jit.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Iterable, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from dclip_tpu.core.config import CLIPConfig, TeacherTrainConfig
-from dclip_tpu.core.metrics import MetricsLogger, trace_span
+from dclip_tpu.core.metrics import trace_span
 from dclip_tpu.models.clip import CLIPModule
-from dclip_tpu.models.teacher import (
-    PatchTextAggregation,
-    encode_patches,
-    encode_tokens,
-)
+from dclip_tpu.models.teacher import PatchTextAggregation, encode_tokens
 from dclip_tpu.ops.losses import info_nce
 from dclip_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
 from dclip_tpu.train.base import BaseTrainer
