@@ -178,12 +178,15 @@ def main(argv=None) -> int:
         else None
     )
 
-    def pipeline_for(path, batch_size):
+    def pipeline_for(path, batch_size, drop_remainder=True):
+        # Validation keeps partial batches: a val set smaller than the
+        # batch would otherwise silently evaluate nothing.
         return MultiModalPipeline(
             load_corpus(path),
             tokenizer,
             cache,
             batch_size=batch_size,
+            drop_remainder=drop_remainder,
             max_patches=cfg.teacher.max_patches,
             image_size=student_cfg.vision.image_size,
             teacher_image_size=args.teacher_image_size,
@@ -194,7 +197,7 @@ def main(argv=None) -> int:
 
     train_pipe = pipeline_for(cfg.train_file, cfg.train_batch_size)
     val_pipe = (
-        pipeline_for(cfg.val_file, cfg.eval_batch_size)
+        pipeline_for(cfg.val_file, cfg.eval_batch_size, drop_remainder=False)
         if cfg.val_file and os.path.exists(cfg.val_file)
         else None
     )

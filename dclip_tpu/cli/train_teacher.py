@@ -116,12 +116,15 @@ def main(argv=None) -> int:
     if cache is None:
         print("No detection cache: box slots will be empty (masked out)")
 
-    def pipeline_for(path):
+    def pipeline_for(path, drop_remainder=True):
+        # Validation keeps partial batches: a val set smaller than the
+        # batch would otherwise silently evaluate nothing.
         return MultiModalPipeline(
             load_corpus(path),
             tokenizer,
             cache,
             batch_size=cfg.batch_size,
+            drop_remainder=drop_remainder,
             max_patches=cfg.teacher.max_patches,
             image_size=clip_cfg.vision.image_size,
             teacher_image_size=args.teacher_image_size,
@@ -132,12 +135,12 @@ def main(argv=None) -> int:
 
     train_pipe = pipeline_for(cfg.train_file)
     val_pipe = (
-        pipeline_for(cfg.val_file)
+        pipeline_for(cfg.val_file, drop_remainder=False)
         if cfg.val_file and os.path.exists(cfg.val_file)
         else None
     )
     print(f"Training set size: {len(train_pipe.items)} samples")
-    if val_pipe:
+    if val_pipe is not None:  # `if val_pipe:` is len()-falsy for tiny sets
         print(f"Validation set size: {len(val_pipe.items)} samples")
 
     mesh = make_mesh(cfg.mesh)

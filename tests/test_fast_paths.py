@@ -149,3 +149,35 @@ def test_auto_resolves_concrete_on_cpu_trainer(cpu_devices):
     assert trainer.cfg.compute_dtype == "float32"
     assert trainer.cfg.use_pallas is False
     assert trainer.cfg.compact_patches is False
+
+
+def test_pallas_probe_watchdog(monkeypatch):
+    """A hung remote Pallas compile must not wedge trainer construction:
+    the probe runs under a deadline and falls back to the XLA paths."""
+    import time
+
+    monkeypatch.delitem(kernels_pkg._PALLAS_OK, "ok", raising=False)
+    monkeypatch.setenv("DCLIP_PALLAS_PROBE_TIMEOUT", "0.2")
+    monkeypatch.setattr(
+        kernels_pkg, "_pallas_probe_once", lambda: time.sleep(30) or True
+    )
+    t0 = time.perf_counter()
+    assert kernels_pkg.pallas_available() is False
+    assert time.perf_counter() - t0 < 5.0
+    monkeypatch.delitem(kernels_pkg._PALLAS_OK, "ok", raising=False)
+
+
+def test_pallas_probe_clean_failure_retries(monkeypatch):
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("HTTP 500")
+        return True
+
+    monkeypatch.delitem(kernels_pkg._PALLAS_OK, "ok", raising=False)
+    monkeypatch.setattr(kernels_pkg, "_pallas_probe_once", flaky)
+    assert kernels_pkg.pallas_available() is True
+    assert len(calls) == 2
+    monkeypatch.delitem(kernels_pkg._PALLAS_OK, "ok", raising=False)
