@@ -181,3 +181,31 @@ def test_pallas_probe_clean_failure_retries(monkeypatch):
     assert kernels_pkg.pallas_available() is True
     assert len(calls) == 2
     monkeypatch.delitem(kernels_pkg._PALLAS_OK, "ok", raising=False)
+
+
+def test_analytic_flops_accounting():
+    """Pin the MFU arithmetic (core.flops) against hand calculations."""
+    from dclip_tpu.core.flops import (
+        distill_step_flops,
+        mfu,
+        text_forward_flops,
+        vision_forward_flops,
+    )
+
+    cfg = CLIPConfig.vit_b_16()
+    # ViT-B/16: S=197, D=768, mlp=3072, 12 layers -> ~35 GFLOPs/image.
+    v = vision_forward_flops(cfg)
+    s, d, m = 197, 768, 3072
+    per_layer = 8 * s * d * d + 4 * s * s * d + 4 * s * d * m
+    expected = 2 * 196 * (3 * 16 * 16) * d + 12 * per_layer + 2 * d * 512
+    assert v == expected
+    assert 30e9 < v < 40e9
+    t = text_forward_flops(cfg)
+    assert 4e9 < t < 8e9  # 77-token 512-wide stack
+    tc = TeacherConfig(embed_dim=512, num_heads=8, max_patches=8)
+    step = distill_step_flops(cfg, cfg, tc, batch=64)
+    # 8 crop forwards + text + cross-attn + 3x student fwd per image.
+    per_image = step / 64
+    assert 8 * v < per_image < 8 * v + 4 * (v + t)
+    assert mfu(197e12, "tpu", "bfloat16") == pytest.approx(1.0)
+    assert mfu(1.0, "gpu", "float32") is None
