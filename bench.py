@@ -30,11 +30,55 @@ BASELINE_IMAGES_PER_SEC = 67000 / 7200.0
 
 
 def main() -> None:
-    import contextlib
+    """Run the measurement in a CHILD process with a deadline.
+
+    The tunneled Pallas compile service can hang outright (observed:
+    trainer construction wedged >9 min); a hung bench would leave the
+    round with NO artifact. The child does the real work; on timeout or
+    crash the parent retries once with DCLIP_DISABLE_PALLAS=1 (the XLA
+    paths — slower but dependable). Exactly one JSON line either way."""
+    import os
+    import subprocess
     import sys
 
-    with contextlib.redirect_stdout(sys.stderr):
-        result = _run()
+    if os.environ.get("_DCLIP_BENCH_CHILD"):
+        import contextlib
+
+        with contextlib.redirect_stdout(sys.stderr):
+            result = _run()
+        print(json.dumps(result))
+        return
+
+    def attempt(extra_env, deadline):
+        env = dict(os.environ, _DCLIP_BENCH_CHILD="1", **extra_env)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=deadline, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            return None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue
+        return None
+
+    first = float(os.environ.get("DCLIP_BENCH_CHILD_TIMEOUT", "540"))
+    result = attempt({}, first)
+    if result is None:
+        print("bench child failed/hung; retrying with Pallas disabled",
+              file=sys.stderr)
+        result = attempt({"DCLIP_DISABLE_PALLAS": "1"}, 360)
+    if result is None:
+        result = {
+            "metric": "distill_images_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": None,
+            "error": "bench child failed twice (see stderr)",
+        }
     print(json.dumps(result))  # stdout carries EXACTLY one JSON line
 
 
@@ -61,6 +105,10 @@ def _run() -> dict:
 
     import jax
     import jax.numpy as jnp
+
+    from dclip_tpu.core.cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     from __graft_entry__ import _synthetic_batch
     from dclip_tpu.core.config import (
@@ -110,7 +158,11 @@ def _run() -> dict:
         student_model="vit-b-16" if on_tpu else "tiny",
         teacher_clip_model="vit-b-16" if on_tpu else "tiny",
     )
-    cache = TeacherTargetCache()  # in-memory; exercises the epoch>=1 path
+    # In-memory, bench-scoped: pass an explicit salt so the trainer skips
+    # the full-weight fingerprint (a device_get of both B/16 trees through
+    # the tunnel costs minutes; an ephemeral cache needs no collision
+    # safety across runs).
+    cache = TeacherTargetCache(salt="bench-ephemeral")
     trainer = DistillTrainer(
         cfg, variables, variables, tparams, clip_cfg, clip_cfg, mesh=mesh,
         teacher_cache=cache,

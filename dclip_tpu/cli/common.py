@@ -56,6 +56,10 @@ def load_clip(
     image embedding pick the fused encoder-block kernels)."""
     import jax.numpy as jnp
 
+    from dclip_tpu.core.cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     cfg = CLIPConfig.from_name(preset)
     if compute_dtype == "auto":
         try:

@@ -23,6 +23,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+from dclip_tpu.core.cache import enable_persistent_compilation_cache  # noqa: E402
+
+# Reused CPU executables make repeat suite runs much faster; compiles
+# through the (sometimes degraded) TPU tunnel drop from minutes to seconds.
+enable_persistent_compilation_cache()
+
 # Parity tests compare against float64-free numpy/torch references; JAX's
 # default matmul precision is lower (bf16-ish passes) and fails them.
 jax.config.update("jax_default_matmul_precision", "highest")
