@@ -7,6 +7,17 @@ from dclip_tpu.kernels.cross_attention import (
     cross_attention_fused,
     cross_attention_trainable,
 )
+from dclip_tpu.kernels.vit_attention import (
+    self_attention_bwd_fused,
+    self_attention_fused,
+    self_attention_trainable,
+)
+from dclip_tpu.kernels.vit_block import (
+    attention_block_fused,
+    encoder_forward_fused,
+    fused_image_features,
+    mlp_block_fused,
+)
 
 _PALLAS_OK: dict = {}
 
@@ -38,8 +49,10 @@ def pallas_available() -> bool:
     construction must never wedge on a flaky compile service; it falls
     back to the XLA twins instead. One retry on clean failure; result
     cached per process. DCLIP_DISABLE_PALLAS=1 forces the XLA paths."""
+    import json
     import os
     import threading
+    import time
 
     if "ok" in _PALLAS_OK:
         return _PALLAS_OK["ok"]
@@ -47,6 +60,37 @@ def pallas_available() -> bool:
         _PALLAS_OK["ok"] = False
         return False
     deadline = float(os.environ.get("DCLIP_PALLAS_PROBE_TIMEOUT", "120"))
+
+    # Cross-process memo with TTL: when the compile service is wedged,
+    # every fresh process would otherwise burn the full probe deadline
+    # rediscovering it. Failures expire quickly (service may recover);
+    # successes longer.
+    memo_path = os.path.join(
+        os.path.expanduser(
+            os.environ.get("DCLIP_COMPILE_CACHE", "~/.cache/dclip_tpu_jax")
+        ),
+        "pallas_probe.json",
+    )
+    ttl = {"ok": 3600.0, "fail": 600.0}
+    try:
+        with open(memo_path) as f:
+            memo = json.load(f)
+        age = time.time() - memo["time"]
+        if age < ttl["ok" if memo["ok"] else "fail"]:
+            _PALLAS_OK["ok"] = bool(memo["ok"])
+            if not memo["ok"]:
+                print("use_pallas auto-disabled (cached probe failure)")
+            return _PALLAS_OK["ok"]
+    except Exception:
+        pass
+
+    def _memoize(ok: bool) -> None:
+        try:
+            os.makedirs(os.path.dirname(memo_path), exist_ok=True)
+            with open(memo_path, "w") as f:
+                json.dump({"ok": ok, "time": time.time()}, f)
+        except Exception:
+            pass
 
     ok = False
     for _ in range(2):
@@ -74,6 +118,7 @@ def pallas_available() -> bool:
         if ok:
             break
     _PALLAS_OK["ok"] = ok
+    _memoize(ok)
     return ok
 from dclip_tpu.kernels.topk import topk_streamed
 from dclip_tpu.kernels.distill_loss import (
@@ -83,9 +128,16 @@ from dclip_tpu.kernels.distill_loss import (
 )
 
 __all__ = [
+    "attention_block_fused",
     "cross_attention_fused",
     "cross_attention_trainable",
+    "encoder_forward_fused",
+    "fused_image_features",
+    "mlp_block_fused",
     "pallas_available",
+    "self_attention_bwd_fused",
+    "self_attention_fused",
+    "self_attention_trainable",
     "fused_distillation_loss",
     "make_fused_distillation_loss",
     "MAX_FUSED_BATCH",

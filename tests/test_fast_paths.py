@@ -151,12 +151,13 @@ def test_auto_resolves_concrete_on_cpu_trainer(cpu_devices):
     assert trainer.cfg.compact_patches is False
 
 
-def test_pallas_probe_watchdog(monkeypatch):
+def test_pallas_probe_watchdog(monkeypatch, tmp_path):
     """A hung remote Pallas compile must not wedge trainer construction:
     the probe runs under a deadline and falls back to the XLA paths."""
     import time
 
     monkeypatch.delitem(kernels_pkg._PALLAS_OK, "ok", raising=False)
+    monkeypatch.setenv("DCLIP_COMPILE_CACHE", str(tmp_path))  # fresh memo
     monkeypatch.setenv("DCLIP_PALLAS_PROBE_TIMEOUT", "0.2")
     monkeypatch.setattr(
         kernels_pkg, "_pallas_probe_once", lambda: time.sleep(30) or True
@@ -167,7 +168,8 @@ def test_pallas_probe_watchdog(monkeypatch):
     monkeypatch.delitem(kernels_pkg._PALLAS_OK, "ok", raising=False)
 
 
-def test_pallas_probe_clean_failure_retries(monkeypatch):
+def test_pallas_probe_clean_failure_retries(monkeypatch, tmp_path):
+    monkeypatch.setenv("DCLIP_COMPILE_CACHE", str(tmp_path))  # fresh memo
     calls = []
 
     def flaky():
@@ -209,3 +211,21 @@ def test_analytic_flops_accounting():
     assert 8 * v < per_image < 8 * v + 4 * (v + t)
     assert mfu(197e12, "tpu", "bfloat16") == pytest.approx(1.0)
     assert mfu(1.0, "gpu", "float32") is None
+
+
+def test_pallas_probe_memoized_across_processes(monkeypatch, tmp_path):
+    """The probe verdict persists on disk with a TTL, so fresh processes
+    skip the deadline wait while the compile service is known-wedged."""
+    monkeypatch.setenv("DCLIP_COMPILE_CACHE", str(tmp_path))
+    calls = []
+    monkeypatch.setattr(
+        kernels_pkg, "_pallas_probe_once", lambda: calls.append(1) or True
+    )
+    monkeypatch.delitem(kernels_pkg._PALLAS_OK, "ok", raising=False)
+    assert kernels_pkg.pallas_available() is True
+    assert len(calls) == 1
+    # Simulate a new process: in-memory memo cleared, disk memo serves.
+    monkeypatch.delitem(kernels_pkg._PALLAS_OK, "ok", raising=False)
+    assert kernels_pkg.pallas_available() is True
+    assert len(calls) == 1  # no second probe
+    monkeypatch.delitem(kernels_pkg._PALLAS_OK, "ok", raising=False)
