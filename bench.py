@@ -56,13 +56,20 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, timeout=deadline, capture_output=True, text=True,
             )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            tail = (e.stderr or b"")
+            if isinstance(tail, bytes):
+                tail = tail.decode(errors="replace")
+            print(f"bench child timed out after {deadline:.0f}s; stderr tail:\n"
+                  + "\n".join(tail.splitlines()[-10:]), file=sys.stderr)
             return None
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
                 return json.loads(line)
             except ValueError:
                 continue
+        print("bench child produced no JSON; stderr tail:\n"
+              + "\n".join(proc.stderr.splitlines()[-15:]), file=sys.stderr)
         return None
 
     first = float(os.environ.get("DCLIP_BENCH_CHILD_TIMEOUT", "540"))

@@ -62,11 +62,9 @@ def load_clip(
 
     cfg = CLIPConfig.from_name(preset)
     if compute_dtype == "auto":
-        try:
-            on_tpu = jax.devices()[0].platform == "tpu"
-        except Exception:
-            on_tpu = False
-        compute_dtype = "bfloat16" if on_tpu else "float32"
+        from dclip_tpu.core.platform import default_is_tpu
+
+        compute_dtype = "bfloat16" if default_is_tpu() else "float32"
     model = CLIPModule(cfg, dtype=jnp.dtype(compute_dtype))
     if weights == "random":
         variables = model.init(

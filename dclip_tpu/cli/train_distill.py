@@ -178,6 +178,9 @@ def main(argv=None) -> int:
         else None
     )
 
+    mesh = make_mesh(cfg.mesh)
+    dp = mesh.shape.get(cfg.mesh.data_axis, 1)
+
     def pipeline_for(path, batch_size, drop_remainder=True):
         # Validation keeps partial batches: a val set smaller than the
         # batch would otherwise silently evaluate nothing.
@@ -196,13 +199,15 @@ def main(argv=None) -> int:
         )
 
     train_pipe = pipeline_for(cfg.train_file, cfg.train_batch_size)
+    # Partial tail batches are only placeable on a single data shard;
+    # under dp>1 the tail must stay divisible, so it is dropped.
     val_pipe = (
-        pipeline_for(cfg.val_file, cfg.eval_batch_size, drop_remainder=False)
+        pipeline_for(cfg.val_file, cfg.eval_batch_size,
+                     drop_remainder=(dp > 1))
         if cfg.val_file and os.path.exists(cfg.val_file)
         else None
     )
 
-    mesh = make_mesh(cfg.mesh)
     teacher_cache = None
     if args.teacher_cache:
         from dclip_tpu.train.distill_trainer import TeacherTargetCache

@@ -116,6 +116,9 @@ def main(argv=None) -> int:
     if cache is None:
         print("No detection cache: box slots will be empty (masked out)")
 
+    mesh = make_mesh(cfg.mesh)
+    dp = mesh.shape.get(cfg.mesh.data_axis, 1)
+
     def pipeline_for(path, drop_remainder=True):
         # Validation keeps partial batches: a val set smaller than the
         # batch would otherwise silently evaluate nothing.
@@ -134,16 +137,20 @@ def main(argv=None) -> int:
         )
 
     train_pipe = pipeline_for(cfg.train_file)
+    # Partial tail batches are only placeable on a single data shard;
+    # under dp>1 the tail must stay divisible, so it is dropped.
     val_pipe = (
-        pipeline_for(cfg.val_file, drop_remainder=False)
+        pipeline_for(cfg.val_file, drop_remainder=(dp > 1))
         if cfg.val_file and os.path.exists(cfg.val_file)
         else None
     )
     print(f"Training set size: {len(train_pipe.items)} samples")
     if val_pipe is not None:  # `if val_pipe:` is len()-falsy for tiny sets
         print(f"Validation set size: {len(val_pipe.items)} samples")
+        if len(val_pipe) == 0:
+            print("WARNING: validation set smaller than one divisible "
+                  "batch under dp>1; no val batches will run")
 
-    mesh = make_mesh(cfg.mesh)
     knn_store = None
     if args.knn_store and os.path.exists(args.knn_store):
         from dclip_tpu.data.embedding_store import EmbeddingStore

@@ -6,6 +6,12 @@ this cache), and every CLI entry point / bench run recompiles the same
 programs. This enables JAX's on-disk executable cache so repeated
 invocations skip compilation entirely.
 
+TPU-ONLY: deserialized CPU-backend executables abort on replay in this
+jax build (verified: same process config, fresh cache dir — first run
+writes and passes, second run reads and crashes), so the cache only
+engages when the default device is a TPU. TPU executables round-trip
+correctly (measured 300s -> 17.5s for a ViT-B/16 forward compile).
+
 Opt-out: DCLIP_NO_COMPILE_CACHE=1. Location: DCLIP_COMPILE_CACHE
 (default ~/.cache/dclip_tpu_jax).
 """
@@ -24,6 +30,11 @@ def enable_persistent_compilation_cache(path: Optional[str] = None) -> Optional[
     if "dir" in _ENABLED:
         return _ENABLED["dir"]
     if os.environ.get("DCLIP_NO_COMPILE_CACHE"):
+        _ENABLED["dir"] = None
+        return None
+    from dclip_tpu.core.platform import default_is_tpu
+
+    if not default_is_tpu():
         _ENABLED["dir"] = None
         return None
     path = path or os.environ.get(

@@ -327,7 +327,9 @@ def resolve_fast_paths(cfg, platform: str):
     .platform`), NOT `jax.default_backend()` — the default backend can be a
     TPU while the trainer's mesh is CPU (tests, dryrun).
     """
-    on_tpu = platform == "tpu"
+    from dclip_tpu.core.platform import is_tpu_platform
+
+    on_tpu = is_tpu_platform(platform)
     updates: dict = {}
     if getattr(cfg, "compute_dtype", None) == "auto":
         updates["compute_dtype"] = "bfloat16" if on_tpu else "float32"

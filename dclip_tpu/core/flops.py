@@ -78,5 +78,9 @@ def distill_step_flops(
 
 
 def mfu(flops_per_sec: float, platform: str, dtype: str) -> float | None:
+    from dclip_tpu.core.platform import is_tpu_platform
+
+    if is_tpu_platform(platform):
+        platform = "tpu"
     peak = PEAK_FLOPS.get((platform, dtype))
     return None if peak is None else flops_per_sec / peak

@@ -235,24 +235,31 @@ class MultiModalPipeline:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def load_batch(pool, idxs):
-            if self.num_workers > 0:
-                return self._get_pool().map(
-                    _worker_load, [(int(i), epoch) for i in idxs]
-                )
-            return list(pool.map(lambda i: self._load_item(int(i), epoch), idxs))
-
         def producer():
             # Exceptions are forwarded to the consumer and re-raised there:
             # a silently dying producer would truncate every epoch at the
             # failing item while training carried on oblivious.
             try:
-                with ThreadPoolExecutor(self.num_threads) as pool:
+                import contextlib
+
+                with contextlib.ExitStack() as stack:
+                    if self.num_workers > 0:
+                        proc_pool = self._get_pool()
+                        load = lambda idxs: proc_pool.map(  # noqa: E731
+                            _worker_load, [(int(i), epoch) for i in idxs]
+                        )
+                    else:
+                        pool = stack.enter_context(
+                            ThreadPoolExecutor(self.num_threads)
+                        )
+                        load = lambda idxs: list(  # noqa: E731
+                            pool.map(lambda i: self._load_item(int(i), epoch), idxs)
+                        )
                     for b in range(n_batches):
                         if stop.is_set():
                             return
                         idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-                        q.put(self._collate(load_batch(pool, idxs)))
+                        q.put(self._collate(load(idxs)))
                 q.put(None)
             except BaseException as e:  # noqa: BLE001 - forwarded, not swallowed
                 q.put(e)

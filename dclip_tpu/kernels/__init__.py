@@ -61,22 +61,28 @@ def pallas_available() -> bool:
         return False
     deadline = float(os.environ.get("DCLIP_PALLAS_PROBE_TIMEOUT", "120"))
 
-    # Cross-process memo with TTL: when the compile service is wedged,
-    # every fresh process would otherwise burn the full probe deadline
-    # rediscovering it. Failures expire quickly (service may recover);
-    # successes longer.
+    # Cross-process memo with a SHORT TTL (10 min both ways): when the
+    # compile service is wedged, every fresh process would otherwise burn
+    # the full probe deadline rediscovering it. A short success TTL bounds
+    # the window in which a cached ok can route real compiles into a
+    # service that wedged after the probe (real compiles have no watchdog);
+    # the verdict is keyed by the default-device platform.
+    from dclip_tpu.core.platform import default_is_tpu
+
+    platform_key = "tpu" if default_is_tpu() else "other"
     memo_path = os.path.join(
         os.path.expanduser(
             os.environ.get("DCLIP_COMPILE_CACHE", "~/.cache/dclip_tpu_jax")
         ),
         "pallas_probe.json",
     )
-    ttl = {"ok": 3600.0, "fail": 600.0}
+    ttl = 600.0
     try:
         with open(memo_path) as f:
             memo = json.load(f)
-        age = time.time() - memo["time"]
-        if age < ttl["ok" if memo["ok"] else "fail"]:
+        if memo.get("platform") == platform_key and (
+            time.time() - memo["time"] < ttl
+        ):
             _PALLAS_OK["ok"] = bool(memo["ok"])
             if not memo["ok"]:
                 print("use_pallas auto-disabled (cached probe failure)")
@@ -88,7 +94,9 @@ def pallas_available() -> bool:
         try:
             os.makedirs(os.path.dirname(memo_path), exist_ok=True)
             with open(memo_path, "w") as f:
-                json.dump({"ok": ok, "time": time.time()}, f)
+                json.dump(
+                    {"ok": ok, "time": time.time(), "platform": platform_key}, f
+                )
         except Exception:
             pass
 

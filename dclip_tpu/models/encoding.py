@@ -47,11 +47,9 @@ def make_image_encoder(
     else:
         in_sharding = None
     if fused is None:
-        try:
-            on_tpu = mesh is None and jax.devices()[0].platform == "tpu"
-        except Exception:
-            on_tpu = False
-        fused = on_tpu and model.dtype == jnp.bfloat16
+        from dclip_tpu.core.platform import default_is_tpu
+
+        fused = mesh is None and default_is_tpu() and model.dtype == jnp.bfloat16
         if fused:
             from dclip_tpu.kernels import pallas_available
 

@@ -52,7 +52,10 @@ def budgeted_patch_encode(
     """Patch-encode with optional crop compaction (shared by both trainers).
 
     jit_cache maps budget -> compiled step (0 = dense); budgets come from a
-    4-bucket set so at most a handful of variants compile.
+    4-bucket set so at most a handful of variants compile. The cache is
+    keyed by budget ONLY: callers must use one jit_cache per
+    (model, image_features_fn) pair — trainers hold their own dict, so a
+    different fn with a reused dict would silently serve stale closures.
     """
     from dclip_tpu.models.teacher import (
         encode_patches,
@@ -151,10 +154,14 @@ class BaseTrainer:
         return float(total) / n if n else 0.0
 
     def validate(self, batches: Iterable) -> float:
+        # Example-weighted mean: with partial tail batches kept, an
+        # unweighted mean of batch means would overweight tail examples.
         total, n = 0.0, 0
         for batch in batches:
-            total += self.eval_loss_on_batch(batch)
-            n += 1
+            d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
+            rows = len(next(iter(d.values())))
+            total += self.eval_loss_on_batch(batch) * rows
+            n += rows
         return total / max(n, 1)
 
     def fit(

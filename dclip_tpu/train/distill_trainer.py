@@ -178,7 +178,11 @@ class DistillTrainer(BaseTrainer):
         # Pallas kernels need interpret mode off-TPU; decide by where this
         # trainer's mesh actually executes (NOT jax.default_backend(): the
         # default platform can be a TPU while the mesh is CPU).
-        self._pallas_interpret = self.mesh.devices.flat[0].platform != "tpu"
+        from dclip_tpu.core.platform import is_tpu_platform
+
+        self._pallas_interpret = not is_tpu_platform(
+            self.mesh.devices.flat[0].platform
+        )
         self.student = CLIPModule(
             self.student_config, dtype=dtype, remat=cfg.remat,
             fused_attention=cfg.use_pallas,

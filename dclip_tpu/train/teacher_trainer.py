@@ -66,7 +66,11 @@ class TeacherTrainer(BaseTrainer):
 
         cfg = self.cfg = resolve_fast_paths(cfg, self.mesh.devices.flat[0].platform)
         dtype = jnp.dtype(cfg.compute_dtype)
-        self._pallas_interpret = self.mesh.devices.flat[0].platform != "tpu"
+        from dclip_tpu.core.platform import is_tpu_platform
+
+        self._pallas_interpret = not is_tpu_platform(
+            self.mesh.devices.flat[0].platform
+        )
         self.clip = CLIPModule(
             self.clip_config, dtype=dtype,
             fused_attention=cfg.use_pallas,

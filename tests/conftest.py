@@ -23,11 +23,9 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-from dclip_tpu.core.cache import enable_persistent_compilation_cache  # noqa: E402
-
-# Reused CPU executables make repeat suite runs much faster; compiles
-# through the (sometimes degraded) TPU tunnel drop from minutes to seconds.
-enable_persistent_compilation_cache()
+# NOTE: the persistent compilation cache is deliberately NOT enabled here —
+# deserialized CPU-backend executables abort on replay in this jax build
+# (dclip_tpu.core.cache docstring), and tests compile CPU programs.
 
 # Parity tests compare against float64-free numpy/torch references; JAX's
 # default matmul precision is lower (bf16-ish passes) and fails them.
