@@ -30,13 +30,20 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Build detection + patch-index caches")
     p.add_argument("--json_file", required=True)
     p.add_argument("--cache_dir", default="cache")
-    p.add_argument("--detector", choices=["grid", "flax"], default="grid",
+    p.add_argument("--detector", choices=["grid", "flax", "ultralytics"],
+                   default="grid",
                    help="'grid': dependency-free proposals; 'flax': the "
                         "native TPU detector (models.detector; random-init "
-                        "unless --detector_checkpoint). Offline YOLO runs "
-                        "plug in by writing the same npz cache artifact.")
+                        "unless --detector_checkpoint); 'ultralytics': "
+                        "import real YOLOv8 weights (models.detector_import) "
+                        "from --detector_checkpoint (.pt state dict / .npz / "
+                        ".safetensors, architecture inferred from shapes) — "
+                        "the reference's yolov8x proposal source, torch-free "
+                        "at inference. Offline YOLO runs can also plug in by "
+                        "writing the same npz cache artifact.")
     p.add_argument("--detector_checkpoint", default=None,
-                   help="msgpack variables for the flax detector")
+                   help="flax: msgpack variables; ultralytics: exported "
+                        "state-dict file")
     p.add_argument("--detector_image_size", type=int, default=640)
     p.add_argument("--build_index", action="store_true",
                    help="also build the patch EmbeddingStore (compute_faiss role)")
@@ -51,7 +58,19 @@ def main(argv=None) -> int:
     paths = [it["image_path"] for it in items]
     print(f"{len(items)} corpus items, {len(dict.fromkeys(paths))} unique images")
 
-    if args.detector == "flax":
+    if args.detector == "ultralytics":
+        from dclip_tpu.models.detector import Detector
+        from dclip_tpu.models.detector_import import load_ultralytics_checkpoint
+
+        if not args.detector_checkpoint:
+            raise SystemExit("--detector ultralytics requires --detector_checkpoint")
+        det_cfg, variables = load_ultralytics_checkpoint(
+            args.detector_checkpoint, image_size=args.detector_image_size
+        )
+        print(f"Imported YOLOv8 checkpoint: width={det_cfg.width} "
+              f"depth={det_cfg.depth} nc={det_cfg.num_classes}")
+        detect_fn = Detector(det_cfg, variables).as_detect_fn()
+    elif args.detector == "flax":
         from dclip_tpu.models.detector import Detector, DetectorConfig
 
         det = Detector.initialize(

@@ -253,3 +253,36 @@ def test_imported_detector_produces_boxes():
     assert len(boxes) == len(conf) and len(boxes) > 0
     assert np.all(boxes[:, 0] <= boxes[:, 2]) and np.all(boxes[:, 1] <= boxes[:, 3])
     assert np.all(boxes[:, [0, 2]] <= 90 + 1e-3) and np.all(boxes[:, [1, 3]] <= 120 + 1e-3)
+
+
+def test_precache_cli_with_ultralytics_checkpoint(tmp_path, monkeypatch):
+    """cli.precache --detector ultralytics: imported checkpoint drives the
+    detection-cache build end to end (the reference's precache_yolo role
+    with real YOLOv8 weights, torch-free at inference)."""
+    import json
+
+    import torch
+    from PIL import Image
+
+    from dclip_tpu.cli import precache
+    from dclip_tpu.data.detection_cache import DetectionCache
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.RandomState(0)
+    items = []
+    for i in range(3):
+        p = str(tmp_path / f"im{i}.png")
+        Image.fromarray((rng.rand(50, 60, 3) * 255).astype("uint8")).save(p)
+        items.append({"image_path": p, "captions": [f"c{i}"],
+                      "dataset": "s", "boxes": []})
+    (tmp_path / "corpus.json").write_text(json.dumps(items))
+    sd = _synthetic_sd(TINY, seed=5)
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, "yolo_sd.pt")
+
+    assert precache.main([
+        "--json_file", "corpus.json", "--cache_dir", "cache",
+        "--detector", "ultralytics", "--detector_checkpoint", "yolo_sd.pt",
+        "--detector_image_size", "64", "--model_preset", "tiny",
+    ]) == 0
+    cache = DetectionCache.load("cache/corpus_precache.npz")
+    assert len(cache) == 3
