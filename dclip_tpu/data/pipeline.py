@@ -55,9 +55,20 @@ class Batch:
     conf: np.ndarray  # [B, P] float32
     box_mask: np.ndarray  # [B, P] float32
     index: np.ndarray  # [B] int64 corpus indices
+    # Stable per-example identity (image-path digest): survives corpus
+    # rebuilds/reshuffles, unlike `index` — the teacher-target cache keys
+    # on it so a regenerated corpus never serves another image's targets.
+    content_key: Optional[np.ndarray] = None  # [B] int64
 
     def as_dict(self) -> Dict[str, np.ndarray]:
         return self.__dict__.copy()
+
+
+def content_key_for(image_path: str) -> np.int64:
+    import hashlib
+
+    digest = hashlib.md5(str(image_path).encode()).digest()[:8]
+    return np.int64(int.from_bytes(digest, "little", signed=True))
 
 
 def preprocess_image(
@@ -219,6 +230,7 @@ class MultiModalPipeline:
             "input_ids": ids,
             "attention_mask": amask,
             "index": np.int64(idx),
+            "content_key": content_key_for(item["image_path"]),
         }
 
     # -- epoch iteration -----------------------------------------------------
@@ -294,4 +306,5 @@ class MultiModalPipeline:
             conf=np.stack([i["conf"] for i in items]),
             box_mask=np.stack([i["box_mask"] for i in items]),
             index=np.stack([i["index"] for i in items]),
+            content_key=np.stack([i["content_key"] for i in items]),
         )

@@ -105,8 +105,15 @@ class CLIPTokenizer:
         opener = gzip.open if merges_file.endswith(".gz") else open
         with opener(merges_file, "rt", encoding="utf-8") as f:  # type: ignore[operator]
             lines = f.read().split("\n")
+        lines = lines[1:]  # first line is the version header
+        if merges_file.endswith(".gz"):
+            # OpenAI's bpe_simple_vocab_16e6.txt.gz carries MORE merges
+            # than the 49,408-entry vocab was built from; CLIP truncates to
+            # 49152-256-2+1 rules (openai/CLIP simple_tokenizer). Without
+            # this, out-of-vocab merged tokens crash/skew tokenization.
+            lines = lines[: 49152 - 256 - 2 + 1]
         merges = []
-        for line in lines[1:]:  # first line is the version header
+        for line in lines:
             parts = line.split()
             if len(parts) == 2:
                 merges.append((parts[0], parts[1]))

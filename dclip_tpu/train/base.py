@@ -115,13 +115,53 @@ class BaseTrainer:
     eval_loss_on_batch(batch) -> scalar; optionally override _num_epochs
     and _on_epoch_start."""
 
+    # Host-only (index, content_key) and jit-unconsumed (conf — kept in the
+    # batch contract for parity with the reference's detection rows but no
+    # compiled path reads it) fields never cross H2D.
+    _HOST_ONLY_FIELDS = ("index", "content_key", "conf")
+
     def _device_batch(self, batch, fields=None) -> Dict[str, jnp.ndarray]:
         d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
         return {
             k: jax.device_put(v, self._batch_sharding)
             for k, v in d.items()
-            if k != "index" and (fields is None or k in fields)
+            if k not in self._HOST_ONLY_FIELDS
+            and v is not None
+            and (fields is None or k in fields)
         }
+
+    # -- knn/projection gate (shared by both trainers) -----------------------
+
+    def _init_knn_gate(self, knn_store, projection_params, embed_dim: int) -> None:
+        """Optional knn/projection gate over raw patch embeddings (the
+        reference's use_knn_projection teacher mode, EmbeddingStore-backed;
+        patch_text_aggregation.py:78-99). With `projection_params`, below-
+        threshold queries take the position-conditioned projection branch
+        (reference image_tokenizer.py:278-315) instead of raw CLIP."""
+        self._knn_keys = self._knn_values = None
+        self._projection_fn = None
+        self._projection_params = projection_params
+        if knn_store is not None and len(knn_store) > 0:
+            self._knn_keys = jnp.asarray(knn_store.keys)
+            self._knn_values = jnp.asarray(knn_store.values)
+        if projection_params is not None:
+            from dclip_tpu.models.projections import (
+                ImageProjectionModule,
+                projection_apply_fn,
+            )
+
+            module = ImageProjectionModule(clip_dim=embed_dim)
+            self._projection_fn = projection_apply_fn(module, projection_params)
+
+    def _maybe_knn_gate(self, pe, batch, threshold: float):
+        if self._knn_keys is None:
+            return pe
+        frame = batch["teacher_pixels"].shape[1]
+        return apply_knn_gate(
+            pe, batch["boxes"] / float(frame), self._knn_keys,
+            self._knn_values, self._projection_fn, threshold,
+            batch["box_mask"],
+        )
 
     def _num_epochs(self) -> int:
         raise NotImplementedError
@@ -156,13 +196,15 @@ class BaseTrainer:
     def validate(self, batches: Iterable) -> float:
         # Example-weighted mean: with partial tail batches kept, an
         # unweighted mean of batch means would overweight tail examples.
+        # Zero batches -> NaN, NOT 0.0: a fake val_loss of 0.0 would win
+        # best-checkpoint selection (mode=min) over every real score.
         total, n = 0.0, 0
         for batch in batches:
             d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
             rows = len(next(iter(d.values())))
             total += self.eval_loss_on_batch(batch) * rows
             n += rows
-        return total / max(n, 1)
+        return total / n if n else float("nan")
 
     def fit(
         self,
@@ -183,6 +225,9 @@ class BaseTrainer:
                     if val_pipeline is not None
                     else train_loss
                 )
+                if val_loss != val_loss:  # NaN: empty val pipeline
+                    print("validation yielded no batches; using train_loss")
+                    val_loss = train_loss
                 history["val_loss"].append(val_loss)
                 print(
                     f"Epoch {epoch}: train_loss={train_loss:.4f} val_loss={val_loss:.4f}"

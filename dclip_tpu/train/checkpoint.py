@@ -127,7 +127,11 @@ class CheckpointManager:
         def bookkeep():
             # Index entry recorded ONLY after the file exists on disk —
             # a preemption mid-write must never leave the index pointing
-            # at a missing checkpoint.
+            # at a missing checkpoint. A rerun that reproduces an existing
+            # filename (deterministic epoch/metric/step) REPLACES the old
+            # entry: two entries sharing one path would let retention
+            # unlink the file out from under the surviving entry.
+            self._index = [e for e in self._index if e["path"] != path]
             self._index.append(entry)
             self._retain()
             self._write_index()

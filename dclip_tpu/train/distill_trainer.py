@@ -87,14 +87,14 @@ class TeacherTargetCache:
         import hashlib
         import numpy as np
 
-        idx = np.asarray(batch["index"])
+        item_ids = DistillTrainer._item_ids(batch)
         ids = np.asarray(batch["input_ids"])
         prefix = self.salt.encode()
         return [
             hashlib.md5(
-                prefix + int(i).to_bytes(8, "little") + row.tobytes()
+                prefix + int(i).to_bytes(8, "little", signed=True) + row.tobytes()
             ).hexdigest()
-            for i, row in zip(idx, ids)
+            for i, row in zip(item_ids, ids)
         ]
 
     def get_batch(self, keys: list):
@@ -213,7 +213,6 @@ class DistillTrainer(BaseTrainer):
         # update. donate=False on the student step because student params
         # may alias the teacher-CLIP variables (e.g. student initialized
         # from the same pretrained weights).
-        self._patch_encode_step = jax.jit(self._encode_patches_only)
         self._patch_encode_compact_steps: Dict[int, Any] = {}
         self._teacher_tail_step = jax.jit(self._teacher_tail)
         self._train_step = make_train_step(self._student_loss, self.tx, donate=False)
@@ -227,19 +226,7 @@ class DistillTrainer(BaseTrainer):
         )
         if cfg.compact_patches and not self._compact:
             print("compact_patches disabled: data-parallel mesh (dp>1)")
-        self._knn_keys = self._knn_values = None
-        self._projection_fn = None
-        if knn_store is not None and len(knn_store) > 0:
-            self._knn_keys = jnp.asarray(knn_store.keys)
-            self._knn_values = jnp.asarray(knn_store.values)
-        if projection_params is not None:
-            from dclip_tpu.models.projections import (
-                ImageProjectionModule,
-                projection_apply_fn,
-            )
-
-            module = ImageProjectionModule(clip_dim=cfg.teacher.embed_dim)
-            self._projection_fn = projection_apply_fn(module, projection_params)
+        self._init_knn_gate(knn_store, projection_params, cfg.teacher.embed_dim)
         if teacher_cache is not None and not teacher_cache.salt:
             teacher_cache.salt = self._teacher_fingerprint()
 
@@ -259,8 +246,15 @@ class DistillTrainer(BaseTrainer):
         h = hashlib.md5()
         h.update(repr(self.cfg.teacher).encode())
         h.update(self.cfg.teacher_clip_model.encode())
-        h.update(str(self._knn_keys is not None).encode())
-        for tree in (self.teacher_params, self.teacher_clip_variables):
+        # The knn gate and the projection head are part of the effective
+        # teacher: hash their CONTENTS, not just their presence — swapping
+        # the store or the projection weights must invalidate the cache.
+        trees = [self.teacher_params, self.teacher_clip_variables]
+        if self._knn_keys is not None:
+            trees += [self._knn_keys, self._knn_values]
+        if self._projection_params is not None:
+            trees.append(self._projection_params)
+        for tree in trees:
             for leaf in jax.tree_util.tree_leaves(jax.device_get(tree)):
                 arr = np.ascontiguousarray(leaf)
                 h.update(str(arr.shape).encode())
@@ -370,29 +364,9 @@ class DistillTrainer(BaseTrainer):
             jax.lax.stop_gradient(teacher_text),
         )
 
-    def _maybe_knn_gate(self, pe, batch):
-        """Optional knn/projection gate over raw patch embeddings (the
-        reference's use_knn_projection teacher mode, EmbeddingStore-backed;
-        patch_text_aggregation.py:78-99,308-486). With projection params the
-        below-threshold branch is the position-conditioned projection
-        (reference image_tokenizer.py:278-315), else raw CLIP. Traceable:
-        called from both the split training path and the fused eval/dryrun
-        loss."""
-        if self._knn_keys is None:
-            return pe
-        from dclip_tpu.train.base import apply_knn_gate
-
-        frame = batch["teacher_pixels"].shape[1]
-        return apply_knn_gate(
-            pe, batch["boxes"] / float(frame), self._knn_keys,
-            self._knn_values, self._projection_fn,
-            self.cfg.teacher.similarity_threshold,
-            batch["box_mask"],
-        )
-
     def _teacher_targets(self, teacher_clip_variables, teacher_params, batch):
         pe = self._encode_patches_only(teacher_clip_variables, batch)
-        pe = self._maybe_knn_gate(pe, batch)
+        pe = self._maybe_knn_gate(pe, batch, self.cfg.teacher.similarity_threshold)
         return self._teacher_tail(teacher_clip_variables, teacher_params, pe, batch)
 
     def _encode_patches_budgeted(self, raw_batch, device_batch):
@@ -406,7 +380,9 @@ class DistillTrainer(BaseTrainer):
             compact=self._compact,
             image_features_fn=self._frozen_image_features,
         )
-        return self._maybe_knn_gate(pe, device_batch)
+        return self._maybe_knn_gate(
+            pe, device_batch, self.cfg.teacher.similarity_threshold
+        )
 
     def _student_loss(self, params, teacher_img, teacher_txt, batch):
         student_img = self.student.apply(
@@ -462,18 +438,32 @@ class DistillTrainer(BaseTrainer):
     _STUDENT_FIELDS = ("pixel_values", "input_ids", "attention_mask")
 
     @staticmethod
-    def _cacheable(d) -> bool:
-        """Cache keys are a HOST computation over (index, input_ids); only
-        engage the cache when both are host-resident numpy (the real
+    def _item_ids(d):
+        """Stable per-example identity for cache keys: the pipeline's
+        content_key (image-path digest — survives corpus rebuilds and
+        reshuffles) when present, else the corpus index (test/synthetic
+        batches). None when the needed fields are not host-resident."""
+        import numpy as np
+
+        ck = d.get("content_key")
+        if isinstance(ck, np.ndarray):
+            return ck
+        idx = d.get("index")
+        if isinstance(idx, np.ndarray):
+            return idx
+        return None
+
+    @classmethod
+    def _cacheable(cls, d) -> bool:
+        """Cache keys are a HOST computation over (item id, input_ids);
+        only engage the cache when both are host-resident numpy (the real
         pipeline's layout). Hashing device arrays would add a blocking D2H
         round-trip per step — costlier than a cache hit saves on a
         tunneled chip."""
         import numpy as np
 
-        return (
-            "index" in d
-            and isinstance(d["index"], np.ndarray)
-            and isinstance(d["input_ids"], np.ndarray)
+        return cls._item_ids(d) is not None and isinstance(
+            d.get("input_ids"), np.ndarray
         )
 
     def _get_teacher_targets(self, raw_batch, device_batch, keys=None,
@@ -503,14 +493,22 @@ class DistillTrainer(BaseTrainer):
                         return t[:, 0], t[:, 1]
                 salt = self.teacher_cache.salt
                 patch_keys = [
-                    f"pe:{salt}:{int(i)}" for i in np.asarray(d["index"])
+                    f"pe:{salt}:{int(i)}" for i in self._item_ids(d)
                 ]
         with trace_span("teacher_targets"):
             pe = None
             if patch_keys is not None:
                 cached_pe = self.teacher_cache.get_batch(patch_keys)
                 if cached_pe is not None:
-                    pe = jax.device_put(jnp.asarray(cached_pe), self._batch_sharding)
+                    # Same dtype as the miss path (the cache stores f32):
+                    # a dtype flip would retrace the teacher-tail jit and
+                    # make cached-epoch targets numerically differ.
+                    pe = jax.device_put(
+                        jnp.asarray(
+                            cached_pe, dtype=jnp.dtype(self.cfg.compute_dtype)
+                        ),
+                        self._batch_sharding,
+                    )
             if pe is None:
                 pe = self._encode_patches_budgeted(raw_batch, device_batch)
                 if patch_keys is not None:

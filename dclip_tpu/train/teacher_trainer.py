@@ -112,7 +112,7 @@ class TeacherTrainer(BaseTrainer):
         )
         if cfg.compact_patches and not self._compact:
             print("compact_patches disabled: data-parallel mesh (dp>1)")
-        self._init_knn_gate(knn_store, projection_params)
+        self._init_knn_gate(knn_store, projection_params, cfg.teacher.embed_dim)
 
     def _put_replicated(self):
         self.state = replicate_tree(self.state, self.mesh)
@@ -173,39 +173,6 @@ class TeacherTrainer(BaseTrainer):
     def _num_epochs(self) -> int:
         return self.cfg.epochs
 
-    def _init_knn_gate(self, knn_store, projection_params=None) -> None:
-        """Optional knn/projection gate over raw patch embeddings (the
-        reference's use_knn_projection teacher mode, EmbeddingStore-backed;
-        patch_text_aggregation.py:78-99). With `projection_params`, below-
-        threshold queries take the position-conditioned projection branch
-        (reference image_tokenizer.py:278-315) instead of raw CLIP."""
-        self._knn_keys = self._knn_values = None
-        self._projection_fn = None
-        if knn_store is not None and len(knn_store) > 0:
-            self._knn_keys = jnp.asarray(knn_store.keys)
-            self._knn_values = jnp.asarray(knn_store.values)
-        if projection_params is not None:
-            from dclip_tpu.models.projections import (
-                ImageProjectionModule,
-                projection_apply_fn,
-            )
-
-            module = ImageProjectionModule(clip_dim=self.cfg.teacher.embed_dim)
-            self._projection_fn = projection_apply_fn(module, projection_params)
-
-    def _maybe_knn_gate(self, pe, batch):
-        if self._knn_keys is None:
-            return pe
-        from dclip_tpu.train.base import apply_knn_gate
-
-        frame = batch["teacher_pixels"].shape[1]
-        return apply_knn_gate(
-            pe, batch["boxes"] / float(frame), self._knn_keys,
-            self._knn_values, self._projection_fn,
-            self.cfg.teacher.similarity_threshold,
-            batch["box_mask"],
-        )
-
     def _patch_embeddings(self, batch, device_batch):
         from dclip_tpu.train.base import budgeted_patch_encode
 
@@ -215,7 +182,9 @@ class TeacherTrainer(BaseTrainer):
             compact=self._compact,
             image_features_fn=self._frozen_image_features,
         )
-        return self._maybe_knn_gate(pe, device_batch)
+        return self._maybe_knn_gate(
+            pe, device_batch, self.cfg.teacher.similarity_threshold
+        )
 
     def train_step_on_batch(self, batch):
         device_batch = self._device_batch(batch)

@@ -212,3 +212,22 @@ def test_teacher_fingerprint_full_digest(cpu_devices):
     trainer.teacher_params = jax.tree_util.tree_unflatten(treedef, leaves)
     fp2 = trainer._teacher_fingerprint()
     assert fp1 != fp2
+
+
+def test_checkpoint_duplicate_filename_replaces_entry(tmp_path):
+    """A deterministic rerun reproducing an existing checkpoint filename
+    replaces the old index entry — two entries sharing one path would let
+    retention unlink the file the survivor still points to."""
+    import os
+
+    mgr = CheckpointManager(str(tmp_path), save_top_k=2)
+    state = {"w": jnp.zeros(2)}
+    for _ in range(2):  # identical (epoch, metric, step) -> same filename
+        mgr.save(state, step=5, epoch=1, metrics={"val_loss": 0.5})
+    paths = [e["path"] for e in mgr._index if not e.get("tag")]
+    assert len(paths) == len(set(paths)) == 1
+    # Fill top-k and force retention several times; the file must survive.
+    for s in (6, 7, 8):
+        mgr.save(state, step=s, epoch=s, metrics={"val_loss": 0.1 * s})
+    for e in mgr._index:
+        assert os.path.exists(e["path"]), e["path"]

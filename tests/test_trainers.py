@@ -390,7 +390,9 @@ def test_compact_patch_encode_matches_dense(distill_setup, cpu_mesh):
     batch = dc.replace(batch, box_mask=sparse)
     dev = trainer._device_batch(batch)
     pe_compact = trainer._encode_patches_budgeted(batch, dev)
-    pe_dense = trainer._patch_encode_step(trainer.teacher_clip_variables, dev)
+    pe_dense = jax.jit(trainer._encode_patches_only)(
+        trainer.teacher_clip_variables, dev
+    )
     assert patch_budget(int(sparse.sum()), sparse.size) < sparse.size
     np.testing.assert_allclose(
         np.asarray(pe_compact), np.asarray(pe_dense), atol=1e-5
@@ -401,7 +403,11 @@ def test_compact_patch_encode_matches_dense(distill_setup, cpu_mesh):
     devf = trainer._device_batch(full)
     np.testing.assert_allclose(
         np.asarray(trainer._encode_patches_budgeted(full, devf)),
-        np.asarray(trainer._patch_encode_step(trainer.teacher_clip_variables, devf)),
+        np.asarray(
+            jax.jit(trainer._encode_patches_only)(
+                trainer.teacher_clip_variables, devf
+            )
+        ),
         atol=1e-6,
     )
 
@@ -514,10 +520,11 @@ def test_knn_gate_projection_branch(distill_setup, cpu_mesh):
     pipe = FakePipeline(clip_cfg, 1)
     batch = pipe.batches[0]
     db = trainer._device_batch(batch)
-    pe = trainer._patch_encode_step(trainer.teacher_clip_variables, db)
-    gated_proj = trainer._maybe_knn_gate(pe, db)
+    pe = jax.jit(trainer._encode_patches_only)(trainer.teacher_clip_variables, db)
+    thr = trainer.cfg.teacher.similarity_threshold
+    gated_proj = trainer._maybe_knn_gate(pe, db, thr)
     trainer._projection_fn = None
-    gated_clip = trainer._maybe_knn_gate(pe, db)
+    gated_clip = trainer._maybe_knn_gate(pe, db, thr)
     assert not np.allclose(np.asarray(gated_proj), np.asarray(gated_clip))
     # And a full training step with the projection wired is finite.
     trainer2 = DistillTrainer(
@@ -526,3 +533,62 @@ def test_knn_gate_projection_branch(distill_setup, cpu_mesh):
     )
     metrics = trainer2.train_step_on_batch(batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_teacher_fingerprint_covers_knn_and_projection(distill_setup, cpu_mesh):
+    """The knn store and projection head are part of the effective teacher:
+    swapping their CONTENTS must change the cache salt (review finding —
+    presence-only hashing served stale targets after a store rebuild)."""
+    from dclip_tpu.models.projections import init_image_projection
+
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    d = clip_cfg.projection_dim
+    rng = np.random.RandomState(0)
+
+    def store(seed):
+        class S:
+            keys = np.random.RandomState(seed).randn(8, d).astype(np.float32)
+            values = keys
+
+            def __len__(self):
+                return 8
+
+        return S()
+
+    def make(knn_store=None, pparams=None):
+        return DistillTrainer(
+            cfg, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg,
+            mesh=cpu_mesh, knn_store=knn_store, projection_params=pparams,
+        )
+
+    base = make()._teacher_fingerprint()
+    with_knn = make(store(1))._teacher_fingerprint()
+    with_other_knn = make(store(2))._teacher_fingerprint()
+    assert base != with_knn
+    assert with_knn != with_other_knn  # contents, not presence
+    _, p1 = init_image_projection(jax.random.PRNGKey(1), d)
+    _, p2 = init_image_projection(jax.random.PRNGKey(2), d)
+    assert make(pparams=p1)._teacher_fingerprint() != make(
+        pparams=p2
+    )._teacher_fingerprint()
+
+
+def test_teacher_cache_keys_use_content_key(distill_setup):
+    """Cache identity prefers the pipeline's content_key (image digest) so
+    a regenerated corpus (same indices, different images) never serves
+    another image's cached targets."""
+    from dclip_tpu.train.distill_trainer import TeacherTargetCache
+
+    cache = TeacherTargetCache(salt="s")
+    ids = np.zeros((2, 4), np.int32)
+    by_index = {"index": np.asarray([0, 1]), "input_ids": ids}
+    by_content = {
+        "index": np.asarray([0, 1]),
+        "content_key": np.asarray([1234, -99], np.int64),
+        "input_ids": ids,
+    }
+    k1 = cache.keys_for(by_index)
+    k2 = cache.keys_for(by_content)
+    assert k1 != k2  # content_key takes precedence over index
+    by_content2 = dict(by_content, index=np.asarray([7, 8]))
+    assert cache.keys_for(by_content2) == k2  # index is irrelevant with it
