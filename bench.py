@@ -130,7 +130,9 @@ def _run() -> dict:
     from dclip_tpu.parallel.mesh import make_mesh
     from dclip_tpu.train.distill_trainer import DistillTrainer, TeacherTargetCache
 
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    from dclip_tpu.core.platform import is_tpu_platform
+
+    on_tpu = is_tpu_platform(jax.default_backend())
     batch = 64 if on_tpu else 8
     clip_cfg = CLIPConfig.vit_b_16() if on_tpu else CLIPConfig.tiny_test()
     teacher_cfg = TeacherConfig(

@@ -206,7 +206,9 @@ def fused_distillation_loss(
     """
     import jax as _jax
 
-    on_tpu = _jax.default_backend() in ("tpu", "axon")
+    from dclip_tpu.core.platform import is_tpu_platform
+
+    on_tpu = is_tpu_platform(_jax.default_backend())
     if student_image.shape[0] > MAX_FUSED_BATCH or (not on_tpu and not interpret):
         from dclip_tpu.ops.losses import distillation_loss
 
