@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--projection_weights", default=None,
                    help="ImageProjectionModule params (flax msgpack): enables "
                         "the projection branch of the knn gate")
+    p.add_argument("--pe_cache", default=None,
+                   help="cross-epoch cache for the frozen region patch "
+                        "embeddings (native KV store path; 'memory' for "
+                        "in-process) — epochs >= 1 skip the region encode")
     p.add_argument("--knn_store", default=None,
                    help="EmbeddingStore (.npz/.dcs from cli.precache "
                         "--build_index) enabling the knn/projection gate "
@@ -165,9 +169,17 @@ def main(argv=None) -> int:
             args.projection_weights, cfg.teacher.embed_dim
         )
         print("Projection branch enabled for the knn gate")
+    pe_cache = None
+    if args.pe_cache:
+        from dclip_tpu.train.distill_trainer import TeacherTargetCache
+
+        pe_cache = TeacherTargetCache(
+            None if args.pe_cache == "memory" else args.pe_cache
+        )
     trainer = TeacherTrainer(cfg, clip_vars, clip_cfg, mesh=mesh,
                              knn_store=knn_store,
-                             projection_params=projection_params)
+                             projection_params=projection_params,
+                             pe_cache=pe_cache)
     ckpts = CheckpointManager(
         os.path.dirname(cfg.output_path) or ".",
         prefix=os.path.basename(cfg.output_path),

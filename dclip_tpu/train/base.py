@@ -39,6 +39,31 @@ def apply_knn_gate(pe, positions, store_keys, store_values, projection_fn,
     return res.embeddings.reshape(b, p, d) * patch_mask[..., None]
 
 
+def fingerprint_objects(*objects) -> str:
+    """md5 over a mixed list of strings and array pytrees (full bytes).
+
+    The salt for persistent caches of frozen-forward outputs: everything
+    that determines those outputs — configs (as strings) and every weight
+    byte of every tree — goes in, so swapped weights/stores can never be
+    served stale results."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.md5()
+    for obj in objects:
+        if obj is None:
+            h.update(b"none")
+        elif isinstance(obj, str):
+            h.update(obj.encode())
+        else:
+            for leaf in jax.tree_util.tree_leaves(jax.device_get(obj)):
+                arr = np.ascontiguousarray(leaf)
+                h.update(str(arr.shape).encode())
+                h.update(arr.tobytes())
+    return h.hexdigest()[:12]
+
+
 def budgeted_patch_encode(
     clip_model,
     clip_config,

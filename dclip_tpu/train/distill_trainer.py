@@ -239,27 +239,20 @@ class DistillTrainer(BaseTrainer):
         an in-place fine-tune that leaves leading bytes unchanged; hashing
         all bytes is a one-time ~1s cost on a B/16 stack and removes the
         collision class entirely."""
-        import hashlib
+        from dclip_tpu.train.base import fingerprint_objects
 
-        import numpy as np
-
-        h = hashlib.md5()
-        h.update(repr(self.cfg.teacher).encode())
-        h.update(self.cfg.teacher_clip_model.encode())
         # The knn gate and the projection head are part of the effective
         # teacher: hash their CONTENTS, not just their presence — swapping
         # the store or the projection weights must invalidate the cache.
-        trees = [self.teacher_params, self.teacher_clip_variables]
-        if self._knn_keys is not None:
-            trees += [self._knn_keys, self._knn_values]
-        if self._projection_params is not None:
-            trees.append(self._projection_params)
-        for tree in trees:
-            for leaf in jax.tree_util.tree_leaves(jax.device_get(tree)):
-                arr = np.ascontiguousarray(leaf)
-                h.update(str(arr.shape).encode())
-                h.update(arr.tobytes())
-        return h.hexdigest()[:12]
+        return fingerprint_objects(
+            repr(self.cfg.teacher),
+            self.cfg.teacher_clip_model,
+            self.teacher_params,
+            self.teacher_clip_variables,
+            self._knn_keys,
+            self._knn_values,
+            self._projection_params,
+        )
 
     def _place_params(self, params):
         """TP-shard encoder params when the model axis is active, else

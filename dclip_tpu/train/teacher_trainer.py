@@ -57,7 +57,13 @@ class TeacherTrainer(BaseTrainer):
         teacher_params: Optional[Any] = None,
         knn_store=None,
         projection_params: Optional[Any] = None,
+        pe_cache=None,
     ):
+        """`pe_cache` (a train.TeacherTargetCache) stores the FROZEN region
+        patch embeddings per image: only the cross-attention trains, so
+        the dominant per-step cost — the region-crop CLIP forwards — never
+        changes across epochs and is skipped from epoch 1 on (the teacher-
+        training analogue of the distillation trainer's level-2 cache)."""
         self.clip_config = clip_config or CLIPConfig.from_name(cfg.clip_model)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
         # Resolve auto fast-path fields (bf16 / Pallas / compaction default
@@ -113,6 +119,15 @@ class TeacherTrainer(BaseTrainer):
         if cfg.compact_patches and not self._compact:
             print("compact_patches disabled: data-parallel mesh (dp>1)")
         self._init_knn_gate(knn_store, projection_params, cfg.teacher.embed_dim)
+        self.pe_cache = pe_cache
+        if pe_cache is not None and not pe_cache.salt:
+            from dclip_tpu.train.base import fingerprint_objects
+
+            # Everything determining the (gated) patch embeddings.
+            pe_cache.salt = fingerprint_objects(
+                repr(cfg.teacher), cfg.clip_model, self.clip_variables,
+                self._knn_keys, self._knn_values, self._projection_params,
+            )
 
     def _put_replicated(self):
         self.state = replicate_tree(self.state, self.mesh)
@@ -174,17 +189,40 @@ class TeacherTrainer(BaseTrainer):
         return self.cfg.epochs
 
     def _patch_embeddings(self, batch, device_batch):
-        from dclip_tpu.train.base import budgeted_patch_encode
+        import numpy as np
 
+        from dclip_tpu.train.base import budgeted_patch_encode
+        from dclip_tpu.train.distill_trainer import DistillTrainer
+
+        keys = None
+        if self.pe_cache is not None:
+            d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
+            ids = DistillTrainer._item_ids(d)
+            if ids is not None:
+                salt = self.pe_cache.salt
+                keys = [f"pe:{salt}:{int(i)}" for i in ids]
+                cached = self.pe_cache.get_batch(keys)
+                if cached is not None:
+                    # f32 in the store; same dtype as the miss path so the
+                    # loss jit never retraces on the first hit.
+                    return jax.device_put(
+                        jnp.asarray(
+                            cached, dtype=jnp.dtype(self.cfg.compute_dtype)
+                        ),
+                        self._batch_sharding,
+                    )
         pe = budgeted_patch_encode(
             self.clip, self.clip_config, self.clip_variables,
             batch, device_batch, self._patch_jits,
             compact=self._compact,
             image_features_fn=self._frozen_image_features,
         )
-        return self._maybe_knn_gate(
+        pe = self._maybe_knn_gate(
             pe, device_batch, self.cfg.teacher.similarity_threshold
         )
+        if keys is not None:
+            self.pe_cache.put_batch(keys, np.asarray(pe))
+        return pe
 
     def train_step_on_batch(self, batch):
         device_batch = self._device_batch(batch)

@@ -41,7 +41,7 @@ class FakePipeline:
     def __init__(self, clip_cfg, n_batches=2, seed=0):
         rng = np.random.RandomState(seed)
         self.batches = []
-        for _ in range(n_batches):
+        for bi in range(n_batches):
             ids = rng.randint(1, 900, size=(B, T)).astype(np.int32)
             ids[:, 5] = clip_cfg.text.eos_token_id
             ids[:, 6:] = 0
@@ -58,7 +58,9 @@ class FakePipeline:
                     boxes=boxes,
                     conf=rng.rand(B, P).astype(np.float32),
                     box_mask=(rng.rand(B, P) > 0.2).astype(np.float32),
-                    index=np.arange(B, dtype=np.int64),
+                    # Unique per ITEM like real corpus indices (duplicate
+                    # ids across batches would alias cache rows).
+                    index=np.arange(bi * B, (bi + 1) * B, dtype=np.int64),
                 )
             )
 
@@ -592,3 +594,48 @@ def test_teacher_cache_keys_use_content_key(distill_setup):
     assert k1 != k2  # content_key takes precedence over index
     by_content2 = dict(by_content, index=np.asarray([7, 8]))
     assert cache.keys_for(by_content2) == k2  # index is irrelevant with it
+
+
+def test_teacher_trainer_pe_cache(clip_setup, cpu_mesh):
+    """The teacher trainer's frozen-region pe cache: identical losses with
+    and without the cache, region encode skipped on hits."""
+    from dclip_tpu.train.distill_trainer import TeacherTargetCache
+
+    clip_cfg, clip_vars = clip_setup
+    cfg = TeacherTrainConfig(
+        epochs=1, batch_size=B, learning_rate=1e-3,
+        teacher=_tiny_teacher_cfg(clip_cfg), clip_model="tiny",
+    )
+    pipe = FakePipeline(clip_cfg, 2)
+
+    t_plain = TeacherTrainer(cfg, clip_vars, clip_cfg, mesh=cpu_mesh)
+    cache = TeacherTargetCache()
+    t_cached = TeacherTrainer(
+        cfg, clip_vars, clip_cfg, mesh=cpu_mesh, pe_cache=cache
+    )
+    assert cache.salt  # fingerprint assigned
+    for batch in pipe.epoch(0):
+        a = float(t_plain.eval_loss_on_batch(batch))
+        b = float(t_cached.eval_loss_on_batch(batch))  # miss: computes+stores
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    assert len(cache._mem) == 2 * B  # one pe row per example
+    # Hits: same losses again, and the encode path is NOT taken.
+    calls = []
+    orig = t_cached._frozen_image_features
+    t_cached._patch_jits.clear()
+
+    import dclip_tpu.train.base as base_mod
+
+    real = base_mod.budgeted_patch_encode
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    base_mod.budgeted_patch_encode = counting
+    try:
+        for batch in pipe.epoch(0):
+            b2 = float(t_cached.eval_loss_on_batch(batch))
+        assert not calls  # served from cache, no region encode
+    finally:
+        base_mod.budgeted_patch_encode = real
