@@ -72,7 +72,7 @@ def main() -> None:
               + "\n".join(proc.stderr.splitlines()[-15:]), file=sys.stderr)
         return None
 
-    first = float(os.environ.get("DCLIP_BENCH_CHILD_TIMEOUT", "540"))
+    first = float(os.environ.get("DCLIP_BENCH_CHILD_TIMEOUT", "560"))
     result = attempt({}, first)
     if result is None:
         print("bench child failed/hung; retrying with Pallas disabled",
