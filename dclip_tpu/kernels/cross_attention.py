@@ -64,10 +64,11 @@ def _mha(q_in, kv_in, wq, bq, wk, bk, wv, bv, wo, bo, kv_mask, num_heads):
     return jnp.dot(out, wo, preferred_element_type=jnp.float32) + bo
 
 
+from dclip_tpu.kernels.vit_block import _layer_norm as _ln_impl
+
+
 def _layer_norm(x, scale, bias, eps=1e-5):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return _ln_impl(x, scale, bias, eps)
 
 
 def _kernel(

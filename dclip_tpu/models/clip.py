@@ -41,11 +41,11 @@ class MLP(nn.Module):
 class Attention(nn.Module):
     """Multi-head self-attention with HF CLIP parameterization.
 
-    `fused=True` routes the unmasked case (the vision encoder) through the
-    Pallas fused kernel (`kernels.vit_attention`): the [B, h, S, S]
-    logits/probs never touch HBM — the lever for MXU speed-of-light on the
-    region-encode/student forwards. Masked attention (causal text) keeps
-    the XLA path.
+    `fused=True` routes attention through the Pallas fused kernel
+    (`kernels.vit_attention`) — the [B, h, S, S] logits/probs never touch
+    HBM. Both encoders run fused: the kernel applies the causal mask
+    in-kernel (iota) and takes the [B, S] key-padding mask, so the text
+    path is covered too.
     """
 
     hidden: int
@@ -260,9 +260,10 @@ class CLIPVisionEncoder(nn.Module):
 class CLIPModule(nn.Module):
     """Dual-encoder CLIP with projection heads and learnable logit scale.
 
-    `fused_attention=True` uses the Pallas fused self-attention in the
-    VISION encoder (unmasked; the causal text encoder keeps XLA) —
-    parameter trees and numerics are unchanged, only the schedule is.
+    `fused_attention=True` uses the Pallas fused self-attention in BOTH
+    encoders (the kernel handles the text path's causal + padding masks
+    in-kernel) — parameter trees and numerics are unchanged, only the
+    schedule is.
     """
 
     cfg: CLIPConfig

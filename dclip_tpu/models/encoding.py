@@ -41,8 +41,8 @@ def make_image_encoder(
         in_sharding = batch_sharding(mesh, data_axis)
         if batch_size % mesh.shape[data_axis] != 0:
             raise ValueError(
-                f"batch_size {batch_size} must divide the data axis "
-                f"({mesh.shape[data_axis]})"
+                f"the data-axis size ({mesh.shape[data_axis]}) must divide "
+                f"batch_size {batch_size}"
             )
     else:
         in_sharding = None
@@ -83,7 +83,7 @@ def make_image_encoder(
         return (
             np.concatenate(out, 0)
             if out
-            else np.zeros((0,), np.float32)
+            else np.zeros((0, model.cfg.projection_dim), np.float32)
         )
 
     return encode

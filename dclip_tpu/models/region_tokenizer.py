@@ -104,12 +104,29 @@ class RegionTokenizer:
         """Threshold sweep (reference :490-529): per threshold, the fraction
         of valid patches served by knn vs projection/clip and the mean hit
         similarity."""
+        # One region encode; only the (cheap) knn gate depends on the
+        # threshold — re-running the crop+ViT forward per threshold
+        # multiplied the dominant cost 8x (review finding).
+        b, p = boxes.shape[:2]
+        h, w = images.shape[1:3]
+        raw = encode_patches(
+            self.clip_model, self.clip_variables, images, boxes, mask,
+            patch_size=self.patch_size,
+        )
+        d = raw.shape[-1]
+        queries = l2_normalize(raw.reshape(b * p, d))
+        positions = (boxes / jnp.asarray([w, h, w, h], jnp.float32)).reshape(
+            b * p, 4
+        )
         out: Dict[float, Dict[str, float]] = {}
         for th in thresholds:
-            tokens = self.batch_tokenize(images, boxes, mask, threshold=float(th))
-            valid = np.asarray(tokens.mask) > 0
-            src = np.asarray(tokens.source)[valid]
-            sims = np.asarray(tokens.similarity)[valid]
+            res = knn_or_projection(
+                queries, positions, self._store_keys, self._store_values,
+                self._projection_fn, float(th), k=self.top_k,
+            )
+            valid = np.asarray(mask).reshape(-1) > 0
+            src = np.asarray(res.source)[valid]
+            sims = np.asarray(res.similarity)[valid]
             n = max(len(src), 1)
             knn_frac = float((src == 0).sum()) / n
             out[round(float(th), 2)] = {

@@ -34,7 +34,21 @@ def make_mesh(
         )
     if cfg.data_parallel <= 0 and dp * mp < n:
         print(f"make_mesh: using {dp * mp} of {n} devices ({dp}x{mp})")
-    grid = np.asarray(devices[: dp * mp]).reshape(dp, mp)
+    use = devices[: dp * mp]
+    # Let mesh_utils pick an ICI-adjacent assignment on real TPU
+    # topologies (a naive list reshape can pair model-parallel partners
+    # across multiple hops, taxing every TP collective); a flat reshape
+    # is fine for CPU test meshes and single-axis layouts.
+    grid = None
+    if mp > 1 and use[0].platform == "tpu":
+        try:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_device_mesh((dp, mp), devices=use)
+        except Exception:
+            grid = None
+    if grid is None:
+        grid = np.asarray(use).reshape(dp, mp)
     return Mesh(grid, (cfg.data_axis, cfg.model_axis))
 
 
