@@ -108,10 +108,12 @@ class CLIPTokenizer:
         lines = lines[1:]  # first line is the version header
         if merges_file.endswith(".gz"):
             # OpenAI's bpe_simple_vocab_16e6.txt.gz carries MORE merges
-            # than the 49,408-entry vocab was built from; CLIP truncates to
-            # 49152-256-2+1 rules (openai/CLIP simple_tokenizer). Without
-            # this, out-of-vocab merged tokens crash/skew tokenization.
-            lines = lines[: 49152 - 256 - 2 + 1]
+            # than the 49,408-entry vocab was built from; CLIP keeps
+            # merges[1:49152-256-2+1] = 48,894 rules (openai/CLIP
+            # simple_tokenizer — header removal and cap in ONE slice). The
+            # header is already dropped above, so cap at 49152-256-2 here.
+            # Without this, out-of-vocab merged tokens crash/skew ids.
+            lines = lines[: 49152 - 256 - 2]
         merges = []
         for line in lines:
             parts = line.split()

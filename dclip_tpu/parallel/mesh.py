@@ -39,8 +39,10 @@ def make_mesh(
     # topologies (a naive list reshape can pair model-parallel partners
     # across multiple hops, taxing every TP collective); a flat reshape
     # is fine for CPU test meshes and single-axis layouts.
+    from dclip_tpu.core.platform import is_tpu_platform
+
     grid = None
-    if mp > 1 and use[0].platform == "tpu":
+    if mp > 1 and is_tpu_platform(use[0].platform):
         try:
             from jax.experimental import mesh_utils
 

@@ -83,18 +83,58 @@ class TeacherTargetCache:
             else:
                 print("native store unavailable; teacher cache is in-memory only")
 
+    @staticmethod
+    def region_digests(batch: Dict[str, Any]):
+        """Per-example md5 digest of the detection fields (boxes, box_mask).
+
+        The teacher targets depend on the detections: re-running precache
+        with a different detector/threshold changes the boxes, and a
+        persistent cache keyed only on (item id, caption) would silently
+        serve stale targets for the same images. Host-resident numpy only
+        (the real pipeline's layout); returns None when absent so
+        synthetic/test batches fall back to id-only keys.
+        """
+        import hashlib
+        import numpy as np
+
+        boxes = batch.get("boxes")
+        mask = batch.get("box_mask")
+        if not isinstance(boxes, np.ndarray) or not isinstance(mask, np.ndarray):
+            return None
+        return [
+            hashlib.md5(b.tobytes() + m.tobytes()).digest()
+            for b, m in zip(boxes, mask)
+        ]
+
     def keys_for(self, batch: Dict[str, Any]) -> list:
         import hashlib
         import numpy as np
 
         item_ids = DistillTrainer._item_ids(batch)
         ids = np.asarray(batch["input_ids"])
+        regions = self.region_digests(batch) or [b""] * len(ids)
         prefix = self.salt.encode()
         return [
             hashlib.md5(
-                prefix + int(i).to_bytes(8, "little", signed=True) + row.tobytes()
+                prefix
+                + int(i).to_bytes(8, "little", signed=True)
+                + row.tobytes()
+                + reg
             ).hexdigest()
-            for i, row in zip(item_ids, ids)
+            for i, row, reg in zip(item_ids, ids, regions)
+        ]
+
+    def pe_keys_for(self, batch: Dict[str, Any]):
+        """Caption-independent patch-embedding keys: (salt, item id,
+        detection digest). Covers the boxes for the same staleness reason
+        as keys_for. None when the batch has no host-resident item ids."""
+        item_ids = DistillTrainer._item_ids(batch)
+        if item_ids is None:
+            return None
+        regions = self.region_digests(batch) or [b""] * len(item_ids)
+        return [
+            f"pe:{self.salt}:{int(i)}:{reg.hex()}"
+            for i, reg in zip(item_ids, regions)
         ]
 
     def get_batch(self, keys: list):
@@ -484,10 +524,7 @@ class DistillTrainer(BaseTrainer):
                             jnp.asarray(cached), self._batch_sharding
                         )
                         return t[:, 0], t[:, 1]
-                salt = self.teacher_cache.salt
-                patch_keys = [
-                    f"pe:{salt}:{int(i)}" for i in self._item_ids(d)
-                ]
+                patch_keys = self.teacher_cache.pe_keys_for(d)
         with trace_span("teacher_targets"):
             pe = None
             if patch_keys is not None:

@@ -192,15 +192,12 @@ class TeacherTrainer(BaseTrainer):
         import numpy as np
 
         from dclip_tpu.train.base import budgeted_patch_encode
-        from dclip_tpu.train.distill_trainer import DistillTrainer
 
         keys = None
         if self.pe_cache is not None:
             d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
-            ids = DistillTrainer._item_ids(d)
-            if ids is not None:
-                salt = self.pe_cache.salt
-                keys = [f"pe:{salt}:{int(i)}" for i in ids]
+            keys = self.pe_cache.pe_keys_for(d)
+            if keys is not None:
                 cached = self.pe_cache.get_batch(keys)
                 if cached is not None:
                     # f32 in the store; same dtype as the miss path so the

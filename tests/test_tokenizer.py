@@ -103,3 +103,32 @@ def test_hash_tokenizer_deterministic():
     assert a1[0] == 98 and m1.sum() == 4  # BOS + 2 words + EOS
     ids, _ = tok.encode_batch(["a b", "c"])
     assert ids.shape == (2, 8)
+
+
+def test_gz_merges_truncation_matches_openai(tmp_path):
+    """OpenAI's simple_tokenizer keeps merges[1:49152-256-2+1] = 48,894
+    rules from bpe_simple_vocab_16e6.txt.gz. One extra rule would produce
+    a merged token absent from the 49,408-entry vocab (KeyError at encode
+    time whenever that merge fires)."""
+    import gzip
+
+    base = list(bytes_to_unicode().values())
+    vocab = {}
+    for ch in base:
+        vocab[ch] = len(vocab)
+    for ch in base:
+        vocab[ch + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    # Synthetic merges file LONGER than the cap; only the first 48,894
+    # post-header rules may load.
+    n_rules = 49152 - 256 - 2 + 50
+    lines = ["bpe_simple_vocab_16e6"]  # header line
+    lines += [f"tok{i} tok{i}x" for i in range(n_rules)]
+    merges_file = tmp_path / "merges.txt.gz"
+    with gzip.open(merges_file, "wt", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    vocab_file = tmp_path / "vocab.json"
+    vocab_file.write_text(json.dumps(vocab))
+    tok = CLIPTokenizer.from_files(str(vocab_file), str(merges_file))
+    assert len(tok.bpe_ranks) == 49152 - 256 - 2  # 48,894 — not 48,895

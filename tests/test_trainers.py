@@ -267,6 +267,31 @@ def test_teacher_target_cache_hits_and_matches(distill_setup, cpu_mesh):
     del _jax
 
 
+def test_cache_keys_cover_detections(distill_setup):
+    """Re-running precache with a different detector changes the boxes —
+    both key levels must miss (never serve stale teacher targets)."""
+    import dataclasses
+
+    from dclip_tpu.train import TeacherTargetCache
+
+    clip_cfg, _, _, _ = distill_setup
+    cache = TeacherTargetCache(salt="s")
+    batch = FakePipeline(clip_cfg, 1).batches[0]
+    d1 = batch.as_dict()
+    # Same items + captions, different detections.
+    d2 = dataclasses.replace(batch, boxes=batch.boxes + 1.0).as_dict()
+    d3 = dataclasses.replace(
+        batch, box_mask=1.0 - batch.box_mask
+    ).as_dict()
+    assert set(cache.keys_for(d1)).isdisjoint(cache.keys_for(d2))
+    assert set(cache.keys_for(d1)).isdisjoint(cache.keys_for(d3))
+    assert set(cache.pe_keys_for(d1)).isdisjoint(cache.pe_keys_for(d2))
+    assert set(cache.pe_keys_for(d1)).isdisjoint(cache.pe_keys_for(d3))
+    # Identical detections -> identical keys (cache still hits).
+    assert cache.keys_for(d1) == cache.keys_for(dict(d1))
+    assert cache.pe_keys_for(d1) == cache.pe_keys_for(dict(d1))
+
+
 def test_distill_use_pallas_matches_xla(distill_setup, cpu_mesh):
     """use_pallas path (interpret mode on CPU) == XLA path numerics."""
     import dataclasses
