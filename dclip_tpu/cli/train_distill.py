@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "slots (bucketed crop compaction)")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint encoder layers (memory for FLOPs)")
+    p.add_argument("--unfreeze_text_at_epoch", type=int, default=None,
+                   help="freeze the student text encoder until this epoch "
+                        "(the reference's intended epoch-3 text unfreeze; "
+                        "default: text trainable throughout, the "
+                        "reference's effective behavior)")
     p.add_argument("--projection_weights", default=None,
                    help="ImageProjectionModule params (flax msgpack): enables "
                         "the projection branch of the knn gate")
@@ -166,6 +171,7 @@ def main(argv=None) -> int:
         use_pallas=args.use_pallas,
         remat=args.remat,
         compact_patches=args.compact_patches,
+        unfreeze_text_at_epoch=args.unfreeze_text_at_epoch,
     )
 
     teacher_params = load_teacher_params(

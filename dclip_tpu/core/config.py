@@ -260,8 +260,15 @@ class DistillConfig:
     teacher: TeacherConfig = field(default_factory=TeacherConfig)
     # () reproduces the hook-never-fires reference behavior.
     unfreeze_schedule: Sequence[UnfreezeStage] = ()
-    unfreeze_text_at_epoch: Optional[int] = None  # reference intended 3
-    full_resolution_at_epoch: Optional[int] = None  # phase1_epochs // 2 intended
+    # Sugar for the reference's intended text unfreeze at epoch 3
+    # (CLIP_image_distillation.py:753-755, dead under modern Lightning):
+    # appends UnfreezeStage(epoch, ("text_model",)) to unfreeze_schedule.
+    # No full_resolution knob: the reference's mid-run flip lives in the
+    # same dead hook AND its full-res transform (T.ToTensor() only,
+    # image_tokenizer.py:34,105-106) skips CLIP normalization and cannot
+    # torch.stack variable-size crops — broken if it ever fired. The
+    # supported resolution knob is --teacher_image_size.
+    unfreeze_text_at_epoch: Optional[int] = None
     mesh: MeshConfig = field(default_factory=MeshConfig)
     log_every: int = 10
     # Activation dtype for encoder forwards (params stay float32; losses

@@ -162,13 +162,24 @@ def process_flickr30k(
 
 
 def process_conceptual_captions(
-    images_dir: str, annotations_file: str, target_count: int = 10_000
+    images_dir: str,
+    annotations_file: str,
+    target_count: int = 10_000,
+    max_scan_rows: Optional[int] = None,
 ) -> List[dict]:
     """CC TSV (caption\\turl) -> records for images ALREADY on disk.
 
     The reference downloads each URL live (:228-350); zero-egress means we
     instead expect a prior fetch step to have materialized images named by
     row index (`cc_<row>.jpg`) or URL basename in `images_dir`.
+
+    Oversampling semantics: the reference scans at most `target_count * 5`
+    TSV rows to absorb download failures (big_teacher_data.py:263,
+    `max_lines = min(total_lines, target_count * 5)`) — so with a >80%
+    failure rate it can UNDERSHOOT the target. Default here is to scan the
+    whole TSV until `target_count` on-disk images are found (a superset of
+    the reference's behavior); pass `max_scan_rows=target_count * 5` for
+    the reference's exact row cap.
     """
     if not _available(images_dir, annotations_file, "Conceptual Captions"):
         return []
@@ -176,6 +187,8 @@ def process_conceptual_captions(
     with open(annotations_file, encoding="utf-8") as f:
         reader = csv.reader(f, delimiter="\t")
         for row_idx, row in enumerate(reader):
+            if max_scan_rows is not None and row_idx >= max_scan_rows:
+                break
             if len(row) < 2:
                 continue
             caption, url = row[0], row[1]

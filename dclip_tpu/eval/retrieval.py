@@ -61,9 +61,9 @@ def embed_captions(
     captions: Sequence[str],
     batch_size: int = 256,
 ) -> np.ndarray:
-    fwd = jax.jit(
-        lambda v, i, m: model.apply(v, i, m, method=model.get_text_features)
-    )
+    from dclip_tpu.models.encoding import text_forward
+
+    fwd = text_forward(model)  # memoized: repeat calls compile nothing
     out = []
     for start in range(0, len(captions), batch_size):
         chunk = list(captions[start : start + batch_size])

@@ -47,11 +47,13 @@ def embed_classnames(
     prompt_template: str,
 ) -> jnp.ndarray:
     """One batched text forward over all class prompts -> [C, D] normalized."""
+    from dclip_tpu.models.encoding import text_forward
+
     prompts = [prompt_template.format(name) for name in classnames]
     ids, mask = tokenizer.encode_batch(prompts)
-    feats = jax.jit(
-        lambda v, i, m: model.apply(v, i, m, method=model.get_text_features)
-    )(variables, jnp.asarray(ids), jnp.asarray(mask))
+    # Memoized jit: a second call (other dataset / prompt set) re-traces
+    # nothing for the same model instance.
+    feats = text_forward(model)(variables, jnp.asarray(ids), jnp.asarray(mask))
     return l2_normalize(feats.astype(jnp.float32))
 
 
@@ -67,15 +69,15 @@ def evaluate_zero_shot(
     Returns {"top1": acc, "top5": acc} like the reference (:117-125).
     """
 
-    @jax.jit
-    def logits_fn(v, pixels):
-        img = model.apply(v, pixels, method=model.get_image_features)
-        img = l2_normalize(img.astype(jnp.float32))
-        return 100.0 * img @ text_features.T
+    from dclip_tpu.models.encoding import zero_shot_logits_forward
+
+    # text_features is a jit ARGUMENT (not a closure): one compile serves
+    # CIFAR-10/100/ImageNet back-to-back for the same model.
+    logits_fn = zero_shot_logits_forward(model)
 
     correct1 = correct5 = total = 0
     for step, (pixels, labels) in enumerate(image_batches):
-        logits = logits_fn(variables, jnp.asarray(pixels))
+        logits = logits_fn(variables, jnp.asarray(pixels), text_features)
         _, top5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))
         top5 = np.asarray(top5)
         labels = np.asarray(labels)

@@ -13,6 +13,57 @@ import numpy as np
 
 from dclip_tpu.models.clip import CLIPModule
 
+# Memoized jitted forwards, keyed per model INSTANCE. A fresh `jax.jit`
+# wrapper per call defeats jit's dispatch cache (every eval invocation
+# re-traces — and on a tunneled chip, potentially re-compiles). The cache
+# value keeps a strong reference to the model so id() can never be reused
+# by a different instance; eval scripts hold O(1) models.
+_JIT_FORWARDS: dict = {}
+
+
+def _memoized_jit(model, kind: str, make):
+    key = (id(model), kind)
+    hit = _JIT_FORWARDS.get(key)
+    if hit is None:
+        hit = (model, jax.jit(make()))
+        _JIT_FORWARDS[key] = hit
+    return hit[1]
+
+
+def text_forward(model: CLIPModule):
+    """Jitted (variables, ids, mask) -> text features; stable across calls."""
+    return _memoized_jit(
+        model,
+        "text",
+        lambda: lambda v, i, m: model.apply(v, i, m, method=model.get_text_features),
+    )
+
+
+def image_forward(model: CLIPModule):
+    """Jitted (variables, pixels) -> image features; stable across calls."""
+    return _memoized_jit(
+        model,
+        "image",
+        lambda: lambda v, p: model.apply(v, p, method=model.get_image_features),
+    )
+
+
+def zero_shot_logits_forward(model: CLIPModule):
+    """Jitted (variables, pixels, text_features[C,D]) -> [B,C] 100*cosine
+    logits (reference test_zero_shot_ImageNet.py:82). text_features is an
+    ARGUMENT so one compile serves every dataset/prompt set."""
+    from dclip_tpu.ops.losses import l2_normalize
+
+    def make():
+        def fwd(v, pixels, text_features):
+            img = model.apply(v, pixels, method=model.get_image_features)
+            img = l2_normalize(img.astype(jnp.float32))
+            return 100.0 * img @ text_features.T
+
+        return fwd
+
+    return _memoized_jit(model, "zero_shot_logits", make)
+
 
 def make_image_encoder(
     model: CLIPModule,

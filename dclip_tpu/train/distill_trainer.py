@@ -305,7 +305,13 @@ class DistillTrainer(BaseTrainer):
         return replicate_tree(params, self.mesh)
 
     def _build_optimizer(self, params) -> None:
-        mask = student_trainable_mask(params, self._unfrozen_extra)
+        mask = student_trainable_mask(
+            params,
+            self._unfrozen_extra,
+            # With the knob set, text starts frozen; _maybe_unfreeze adds
+            # "text_model" to the extras at the configured epoch.
+            freeze_text=self.cfg.unfreeze_text_at_epoch is not None,
+        )
         n_train, n_total = count_trainable(mask)
         print(f"Student trainable leaves: {n_train}/{n_total}")
         self.tx = make_optimizer(
@@ -590,11 +596,27 @@ class DistillTrainer(BaseTrainer):
             )
         return metrics
 
+    def _effective_unfreeze_schedule(self):
+        """unfreeze_schedule plus the unfreeze_text_at_epoch sugar
+        (reference's intended epoch-3 text unfreeze,
+        CLIP_image_distillation.py:753-755)."""
+        from dclip_tpu.core.config import UnfreezeStage
+
+        schedule = tuple(self.cfg.unfreeze_schedule)
+        if self.cfg.unfreeze_text_at_epoch is not None:
+            schedule += (
+                UnfreezeStage(
+                    epoch=self.cfg.unfreeze_text_at_epoch,
+                    patterns=("text_model",),
+                ),
+            )
+        return schedule
+
     def _maybe_unfreeze(self, epoch: int) -> None:
         """Explicit progressive-unfreeze (reference intended :723-763)."""
         new = tuple(
             p
-            for stage in self.cfg.unfreeze_schedule
+            for stage in self._effective_unfreeze_schedule()
             if epoch >= stage.epoch
             for p in stage.patterns
         )

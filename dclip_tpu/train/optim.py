@@ -47,16 +47,27 @@ def pattern_mask(
     return flax.traverse_util.unflatten_dict(out)
 
 
-def student_trainable_mask(params, extra_patterns: Sequence[str] = ()) -> Any:
+def student_trainable_mask(
+    params, extra_patterns: Sequence[str] = (), freeze_text: bool = False
+) -> Any:
     """Default distillation mask (reference :504-506 semantics):
     vision_model leaves need 'proj' in their path (or any extra pattern);
-    every non-vision leaf is trainable."""
+    every non-vision leaf is trainable.
+
+    `freeze_text=True` (the unfreeze_text_at_epoch knob) freezes
+    text_model leaves too until an extra pattern (the schedule appends
+    "text_model" at the configured epoch) matches them — the reference's
+    INTENDED epoch-gated text unfreeze (CLIP_image_distillation.py:753-755,
+    dead hook), as opposed to its effective always-trainable text."""
     flat = flax.traverse_util.flatten_dict(params)
     out = {}
     for path, _ in flat.items():
         name = "/".join(str(k) for k in path)
+        extra = any(p in name for p in extra_patterns)
         if name.startswith("vision_model/"):
-            out[path] = ("proj" in name) or any(p in name for p in extra_patterns)
+            out[path] = ("proj" in name) or extra
+        elif freeze_text and name.startswith("text_model/"):
+            out[path] = extra
         else:
             out[path] = True
     return flax.traverse_util.unflatten_dict(out)

@@ -366,3 +366,64 @@ def test_pipeline_num_workers_deterministic(tmp_path):
     for a, b in zip(base, multi):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_starvation_monitor_warns_with_suggestion():
+    """Synthetic rates (VERDICT r2 weak #7): decode supply 55 img/s vs a
+    314 img/s chip must produce one actionable --num_workers line; a
+    well-fed loop must stay silent."""
+    from dclip_tpu.data.pipeline import StarvationMonitor
+
+    # Starving: each 64-img batch takes ~1.16s to decode but only ~0.20s
+    # to consume -> the consumer waits ~83% of the time.
+    m = StarvationMonitor(num_workers=0, warmup_batches=2, min_batches=4)
+    for _ in range(12):
+        m.record(wait_s=0.96, wall_s=1.16, n_items=64)
+    msg = m.check(supply_items=64 * 12, supply_load_s=64 * 12 / 55.0)
+    assert msg is not None and "--num_workers" in msg
+    # demand = 64 / 0.20 = 320 img/s; per-worker supply 55 -> ceil = 6
+    assert "--num_workers 6" in msg
+    assert m.check(64 * 12, 64 * 12 / 55.0) is None  # latched: warn once
+
+    # Healthy: waits are a rounding error -> silent forever.
+    m2 = StarvationMonitor(num_workers=0, warmup_batches=2, min_batches=4)
+    for _ in range(12):
+        m2.record(wait_s=0.001, wall_s=0.2, n_items=64)
+    assert m2.check(64 * 12, 64 * 12 / 400.0) is None
+
+
+def test_pipeline_starvation_warning_end_to_end(tmp_path, capsys, monkeypatch):
+    """A pipeline whose consumer outruns the producer prints the line."""
+    import time as _time
+
+    from dclip_tpu.data.pipeline import MultiModalPipeline, StarvationMonitor
+    from dclip_tpu.data.tokenizer import HashTokenizer
+
+    corpus = [
+        {
+            "image_path": _png(tmp_path / f"s{i}.png", w=24, h=24,
+                               color=(i * 6 % 255, 80, 40)),
+            "captions": [f"cap {i}"], "dataset": "test", "boxes": [],
+        }
+        for i in range(40)
+    ]
+    pipe = MultiModalPipeline(
+        corpus, HashTokenizer(100, 8), batch_size=2, max_patches=2,
+        image_size=16, teacher_image_size=16, shuffle=False,
+    )
+    # Tight thresholds so a toy epoch can trip it; slow the producer.
+    pipe._starvation_monitor = StarvationMonitor(
+        0, warmup_batches=1, min_batches=3, threshold=0.2
+    )
+    orig = pipe._load_item
+
+    def slow_load(idx, epoch):
+        _time.sleep(0.02)
+        return orig(idx, epoch)
+
+    monkeypatch.setattr(pipe, "_load_item", slow_load)
+    for _ in pipe.epoch(0):
+        pass
+    out = capsys.readouterr().out
+    assert "STARVING" in out and "--num_workers" in out
+    assert out.count("STARVING") == 1  # once, not per batch

@@ -234,6 +234,41 @@ def test_distill_unfreeze_schedule(distill_setup, cpu_mesh):
     )
 
 
+def test_unfreeze_text_at_epoch(distill_setup, cpu_mesh):
+    """With the knob set, text_model params stay fixed before the epoch
+    and train after it; without it, text trains from epoch 0 (the
+    reference's effective behavior)."""
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    import dataclasses
+
+    def text_kernel(params):
+        return params["text_model"]["encoder"]["layers_0"]["mlp"]["fc1"]["kernel"]
+
+    cfg2 = dataclasses.replace(cfg, phase1_epochs=2, unfreeze_text_at_epoch=1)
+    trainer = DistillTrainer(
+        cfg2, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=cpu_mesh
+    )
+    pipe = FakePipeline(clip_cfg, 1)
+    before = jax.device_get(trainer.state.params)
+    trainer._maybe_unfreeze(0)
+    trainer.train_epoch(pipe.epoch(0))
+    mid = jax.device_get(trainer.state.params)
+    np.testing.assert_array_equal(text_kernel(before), text_kernel(mid))
+    trainer._maybe_unfreeze(1)
+    trainer.train_epoch(pipe.epoch(1))
+    after = jax.device_get(trainer.state.params)
+    assert not np.allclose(text_kernel(mid), text_kernel(after))
+
+    # Default (knob unset): text trains immediately.
+    trainer0 = DistillTrainer(
+        cfg, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=cpu_mesh
+    )
+    b0 = jax.device_get(trainer0.state.params)
+    trainer0.train_epoch(pipe.epoch(0))
+    a0 = jax.device_get(trainer0.state.params)
+    assert not np.allclose(text_kernel(b0), text_kernel(a0))
+
+
 def test_teacher_target_cache_hits_and_matches(distill_setup, cpu_mesh):
     """Second epoch uses cached teacher targets; results identical."""
     import jax as _jax
