@@ -68,6 +68,36 @@ def shard_clip_params(params: Any, mesh: Mesh, model_axis: str = "model") -> Any
     )
 
 
+def _key_str(k) -> str:
+    for attr in ("key", "name", "idx"):
+        if hasattr(k, attr):
+            return str(getattr(k, attr))
+    return str(k)
+
+
+def shard_like_clip_params(tree: Any, mesh: Mesh, model_axis: str = "model") -> Any:
+    """device_put an ARBITRARY pytree (e.g. optax moments, whose mu/nu
+    subtrees mirror the param dict) with the TP specs matched on trailing
+    param paths; unmatched leaves replicate.
+
+    This is what keeps resumed optimizer state TP-sharded: adam moments
+    are param-shaped, so replicating them on restore doubles per-device
+    optimizer memory exactly when TP was chosen FOR memory. Fresh inits
+    inherit the params' shardings from tx.init; this gives restores the
+    same placement."""
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    placed = []
+    for path, leaf in leaves:
+        name = "/".join(_key_str(k) for k in path)
+        spec = P()
+        for pat, fn in _KERNEL_RULES:
+            if name.endswith(pat):
+                spec = fn(model_axis)
+                break
+        placed.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
+    return jax.tree_util.tree_unflatten(treedef, placed)
+
+
 def head_divisibility_check(num_heads: int, mesh: Mesh, model_axis: str = "model"):
     """TP shards attention by output dim; heads must divide the axis size so
     each shard holds whole heads."""

@@ -651,15 +651,26 @@ class DistillTrainer(BaseTrainer):
         return float(loss)
 
     def _place_state(self, state):
-        """Resume placement: params keep their TP shardings; step and
-        opt_state replicate (TP-sharding restored optimizer moments is a
-        known gap — memory-suboptimal under mp>1, never incorrect)."""
+        """Resume placement: params AND the param-shaped optimizer moments
+        (adam mu/nu mirror the param tree inside the optax state) keep
+        their TP shardings; everything else replicates. Matches the fresh
+        tx.init placement, so per-device opt-state memory under mp>1 stays
+        1/mp of replicated."""
         from dclip_tpu.train.optim import TrainState as _TS
 
+        model_axis = self.cfg.mesh.model_axis
+        if self.mesh.shape.get(model_axis, 1) > 1:
+            from dclip_tpu.parallel.tp import shard_like_clip_params
+
+            opt_state = shard_like_clip_params(
+                state.opt_state, self.mesh, model_axis
+            )
+        else:
+            opt_state = replicate_tree(state.opt_state, self.mesh)
         return _TS(
             step=replicate_tree(state.step, self.mesh),
             params=self._place_params(state.params),
-            opt_state=replicate_tree(state.opt_state, self.mesh),
+            opt_state=opt_state,
         )
 
     def _prepare_resume(self, saved_epoch: int) -> None:

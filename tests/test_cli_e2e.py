@@ -107,3 +107,34 @@ def test_full_cli_pipeline(workspace, monkeypatch):
     body = open("cifar_zero_shot_results.txt").read()
     assert body.startswith("Zero-Shot CIFAR Results")
     assert "Base CLIP Top-1:" in body and "Relative Change:" in body
+
+
+def test_tune_gate_cli(workspace, monkeypatch, capsys):
+    """Threshold-sweep utility (reference image_tokenizer.py:490-529):
+    prints a knn/fallback table per threshold over a corpus sample."""
+    monkeypatch.chdir(workspace)
+    from dclip_tpu.cli import precache, tune_gate
+
+    if not os.path.exists("cache/syn_train_patch_index.npz"):
+        assert precache.main(
+            ["--json_file", "syn_train.json", "--cache_dir", "cache",
+             "--build_index", "--batch_size", "16"] + MODEL_FLAGS[:2]
+        ) == 0
+    assert tune_gate.main(
+        ["--json_file", "syn_train.json",
+         "--detection_cache", "cache/syn_train_precache.npz",
+         "--knn_store", "cache/syn_train_patch_index.npz",
+         "--sample", "6", "--max_patches", "4", "--image_size", "32",
+         "--thresholds", "0.6", "0.85", "0.95"] + MODEL_FLAGS[:2]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "Gate sweep over 6 items" in out
+    assert "threshold" in out and "knn%" in out
+    # Three threshold rows, knn fraction monotonically non-increasing.
+    rows = [
+        line.split() for line in out.splitlines()
+        if line[:4] in ("0.60", "0.85", "0.95")
+    ]
+    assert len(rows) == 3
+    fracs = [float(r[1]) for r in rows]
+    assert fracs[0] >= fracs[1] >= fracs[2]

@@ -699,3 +699,60 @@ def test_teacher_trainer_pe_cache(clip_setup, cpu_mesh):
         assert not calls  # served from cache, no region encode
     finally:
         base_mod.budgeted_patch_encode = real
+
+
+def test_tp_resume_keeps_opt_state_sharded(distill_setup, cpu_devices, tmp_path):
+    """VERDICT r2 #7: restored adam moments must carry the SAME TP
+    shardings as the params (1/mp per-device bytes), not replicate."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    mesh = make_mesh(
+        MeshConfig(data_parallel=1, model_parallel=2), devices=cpu_devices
+    )
+    cfg2 = dataclasses.replace(
+        cfg, mesh=dataclasses.replace(cfg.mesh, data_parallel=1, model_parallel=2)
+    )
+    trainer = DistillTrainer(
+        cfg2, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=mesh
+    )
+    pipe = FakePipeline(clip_cfg, 1)
+    ckpts = CheckpointManager(str(tmp_path), monitor="train_loss")
+    trainer.fit(pipe, checkpoints=ckpts)
+
+    trainer2 = DistillTrainer(
+        cfg2, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=mesh
+    )
+    assert trainer2.resume(ckpts) == cfg.phase1_epochs
+
+    def specs_by_suffix(tree, suffix):
+        out = []
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            name = "/".join(
+                str(getattr(k, "key", getattr(k, "name", getattr(k, "idx", k))))
+                for k in path
+            )
+            if name.endswith(suffix):
+                out.append((name, leaf))
+        return out
+
+    # q_proj kernels are trainable under the default mask ("proj" in name),
+    # so mu/nu hold real moments for them; all must be column-sharded.
+    hits = specs_by_suffix(trainer2.state.opt_state, "self_attn/q_proj/kernel")
+    assert len(hits) >= 2  # mu and nu at least
+    for name, leaf in hits:
+        assert leaf.sharding.spec == P(None, "model"), name
+        # Per-device shard holds HALF the columns.
+        shard = leaf.addressable_shards[0].data
+        assert shard.shape[-1] == leaf.shape[-1] // 2, name
+    # Row-sharded example too (fc2).
+    for name, leaf in specs_by_suffix(trainer2.state.opt_state, "mlp/fc2/kernel"):
+        assert leaf.sharding.spec == P("model", None), name
+    # Scalar counts replicate.
+    for name, leaf in specs_by_suffix(trainer2.state.opt_state, "count"):
+        assert leaf.sharding.spec == P(), name
+    # And resumed training still steps.
+    m = trainer2.train_step_on_batch(pipe.batches[0])
+    assert np.isfinite(float(m["loss"]))
