@@ -72,8 +72,13 @@ def main() -> None:
               + "\n".join(proc.stderr.splitlines()[-15:]), file=sys.stderr)
         return None
 
+    # Force Pallas in the first attempt: the availability probe's 120s
+    # watchdog false-negatives under TPU-client lock contention, and a
+    # stale failure memo would silently bench the fallback path (round-2
+    # artifact regression). The parent deadline + XLA retry below IS the
+    # safety net the probe exists to provide.
     first = float(os.environ.get("DCLIP_BENCH_CHILD_TIMEOUT", "560"))
-    result = attempt({}, first)
+    result = attempt({"DCLIP_FORCE_PALLAS": "1"}, first)
     if result is None:
         print("bench child failed/hung; retrying with Pallas disabled",
               file=sys.stderr)

@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--flickr_target", type=int, default=DEFAULT_TARGETS["flickr30k"])
     p.add_argument("--cc_target", type=int,
                    default=DEFAULT_TARGETS["conceptual_captions"])
+    p.add_argument("--cc_max_scan_rows", type=int, default=None,
+                   help="cap on CC TSV rows scanned; the reference scans "
+                        "target*5 rows to absorb download failures "
+                        "(big_teacher_data.py:263) and can undershoot — "
+                        "default scans until the target is met")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--val_fraction", type=float, default=0.1)
     return p
@@ -49,6 +54,7 @@ def main(argv=None) -> int:
         flickr_annotations_file=args.flickr_annotations,
         cc_images_dir=args.cc_images,
         cc_annotations_file=args.cc_annotations,
+        cc_max_scan_rows=args.cc_max_scan_rows,
         targets={
             "coco": args.coco_target,
             "visual_genome": args.vg_target,

@@ -46,7 +46,43 @@ def enable_persistent_compilation_cache(path: Optional[str] = None) -> Optional[
 
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _restrict_cache_to_tpu_backends()
     except Exception:
         path = None
     _ENABLED["dir"] = path
     return path
+
+
+def _restrict_cache_to_tpu_backends() -> None:
+    """Gate jax's executable cache per COMPILE backend, not per process.
+
+    jax memoizes cache-enablement in a process-global (`_cache_used`), so a
+    process whose default device is TPU also caches/replays CPU executables
+    — e.g. a CLI entry point driven on a test CPU mesh, or the virtual-CPU
+    sharding tests. Those CPU replays abort the process (module docstring).
+    Wrapping get/put to no-op for non-TPU backends makes the cache safe in
+    mixed-backend processes; TPU programs still round-trip."""
+    from dclip_tpu.core.platform import is_tpu_platform
+
+    try:
+        from jax._src import compilation_cache as cc
+    except Exception:
+        return
+    if getattr(cc, "_dclip_tpu_only", False):
+        return
+
+    real_get, real_put = cc.get_executable_and_time, cc.put_executable_and_time
+
+    def get_tpu_only(cache_key, compile_options, backend, executable_devices):
+        if not is_tpu_platform(getattr(backend, "platform", "")):
+            return None, None
+        return real_get(cache_key, compile_options, backend, executable_devices)
+
+    def put_tpu_only(cache_key, module_name, executable, backend, compile_time):
+        if not is_tpu_platform(getattr(backend, "platform", "")):
+            return None
+        return real_put(cache_key, module_name, executable, backend, compile_time)
+
+    cc.get_executable_and_time = get_tpu_only
+    cc.put_executable_and_time = put_tpu_only
+    cc._dclip_tpu_only = True

@@ -43,6 +43,10 @@ class CorpusPaths:
     flickr_annotations_file: Optional[str] = None
     cc_images_dir: Optional[str] = None
     cc_annotations_file: Optional[str] = None
+    # None = scan the whole CC TSV until the target is met; set to
+    # targets["conceptual_captions"] * 5 for the reference's exact row cap
+    # (big_teacher_data.py:263 — its 5x oversampling can undershoot).
+    cc_max_scan_rows: Optional[int] = None
     targets: Dict[str, int] = field(default_factory=lambda: dict(DEFAULT_TARGETS))
 
 
@@ -236,6 +240,7 @@ def combine_datasets(
     all_data += process_conceptual_captions(
         paths.cc_images_dir or "", paths.cc_annotations_file or "",
         paths.targets.get("conceptual_captions", 0),
+        max_scan_rows=paths.cc_max_scan_rows,
     ) if paths.cc_images_dir else []
 
     if not all_data:

@@ -59,6 +59,14 @@ def pallas_available() -> bool:
     if os.environ.get("DCLIP_DISABLE_PALLAS"):
         _PALLAS_OK["ok"] = False
         return False
+    if os.environ.get("DCLIP_FORCE_PALLAS"):
+        # Skip probe AND memo. The probe's watchdog false-negatives under
+        # TPU-client lock contention (a concurrent process holding the
+        # tunnel makes a healthy compile look wedged); callers that carry
+        # their own deadline + XLA-retry safety net (bench.py's parent)
+        # must not let a contended probe route them to the fallback path.
+        _PALLAS_OK["ok"] = True
+        return True
     deadline = float(os.environ.get("DCLIP_PALLAS_PROBE_TIMEOUT", "120"))
 
     # Cross-process memo with a SHORT TTL (10 min both ways): when the

@@ -229,3 +229,46 @@ def test_pallas_probe_memoized_across_processes(monkeypatch, tmp_path):
     assert kernels_pkg.pallas_available() is True
     assert len(calls) == 1  # no second probe
     monkeypatch.delitem(kernels_pkg._PALLAS_OK, "ok", raising=False)
+
+
+def test_persistent_cache_skips_cpu_backends(monkeypatch, tmp_path):
+    """The executable cache must engage per COMPILE backend: jax memoizes
+    enablement process-globally, so a TPU-default process would otherwise
+    cache/replay CPU executables — which abort on replay in this jax build
+    (core/cache.py docstring). The guard no-ops get/put for non-TPU
+    backends."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from dclip_tpu.core import cache as cache_mod
+
+    monkeypatch.setattr(cache_mod, "_ENABLED", {})
+    monkeypatch.setenv("DCLIP_COMPILE_CACHE", str(tmp_path))
+    monkeypatch.delenv("DCLIP_NO_COMPILE_CACHE", raising=False)
+    # Force the enable path regardless of the host's default device.
+    from dclip_tpu.core import platform as plat
+
+    monkeypatch.setattr(plat, "default_is_tpu", lambda: True)
+    assert cache_mod.enable_persistent_compilation_cache() == str(tmp_path)
+
+    from jax._src import compilation_cache as cc
+
+    assert getattr(cc, "_dclip_tpu_only", False)
+
+    class FakeCpuBackend:
+        platform = "cpu"
+
+    # Direct-level check (no real TPU here): puts/gets for a CPU backend
+    # never reach the disk cache.
+    assert cc.get_executable_and_time("k", None, FakeCpuBackend(), None) == (
+        None, None,
+    )
+    assert cc.put_executable_and_time("k", "m", None, FakeCpuBackend(), 10) is None
+    assert glob.glob(str(tmp_path) + "/*") == []
+
+    # And a real CPU jit in this (cache-enabled) process leaves no entry.
+    with jax.default_device(jax.devices("cpu")[0]):
+        jax.jit(lambda a: (a @ a).sum())(jnp.ones((32, 32))).block_until_ready()
+    assert glob.glob(str(tmp_path) + "/*") == []

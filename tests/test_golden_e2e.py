@@ -195,3 +195,85 @@ def test_golden_embeddings_bitclose(golden_workspace):
                         image_size=size)
     scale = np.abs(t_img).max()
     assert np.abs(ours - t_img).max() / scale < 2e-4
+
+
+def test_runbook_cli_dryrun(golden_workspace, tmp_path, monkeypatch, capsys):
+    """docs/RUNBOOK.md commands 1 and 2, executed via the CLI mains with
+    the REAL-weights argument path (--clip_weights <hf snapshot dir>) and
+    the golden safetensors checkpoint standing in for a mounted
+    openai/clip-vit-base-patch16 (VERDICT r2 missing #1 / next #3).
+
+    Pins the exact flags a maintainer will type plus the output formats
+    documented in the runbook."""
+    import pickle
+
+    import flax.serialization
+
+    from dclip_tpu.cli import flickr30k_eval, zero_shot_eval
+
+    root, snapshot, items, cfg, hf_model = golden_workspace
+    monkeypatch.chdir(tmp_path)
+
+    # A "distilled" checkpoint for --model both: the imported params with
+    # the vision projection scaled (any real checkpoint is params-shaped).
+    params = load_pretrained(str(snapshot), cfg)
+    perturbed = jax.tree_util.tree_map(lambda x: x, params)
+    perturbed["visual_projection"]["kernel"] = (
+        perturbed["visual_projection"]["kernel"] * 1.05
+    )
+    ckpt = tmp_path / "distilled.msgpack"
+    ckpt.write_bytes(
+        flax.serialization.msgpack_serialize(
+            {"params": flax.serialization.to_state_dict(perturbed)}
+        )
+    )
+
+    # --- Runbook command 1: Flickr30k retrieval, base vs custom.
+    rc = flickr30k_eval.main([
+        "--dataset_json", str(root / "eval.json"), "--max_images", "1000",
+        "--model", "both", "--checkpoint", str(ckpt),
+        "--model_preset", "tiny", "--clip_weights", str(snapshot),
+        "--tokenizer_dir", "hash", "--batch_size", "8",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"Evaluating on {len(items)} images" in out
+    for label in ("Text -> Image Retrieval", "Image -> Text Retrieval"):
+        assert label in out
+    header = "Model        R@1        R@5        R@10       MAP"
+    assert out.count(header) == 2
+    base_rows = [l for l in out.splitlines() if l.startswith("base ")]
+    custom_rows = [l for l in out.splitlines() if l.startswith("custom ")]
+    assert len(base_rows) == 2 and len(custom_rows) == 2
+    for row in base_rows + custom_rows:
+        vals = [float(v) for v in row.split()[1:]]
+        assert len(vals) == 4 and all(0.0 <= v <= 1.0 for v in vals)
+    assert out.count("Relative R@1 gain:") == 2
+
+    # --- Runbook command 2: CIFAR-10 zero-shot with a results file.
+    rng = np.random.RandomState(3)
+    cdir = tmp_path / "cifar" / "cifar-10-batches-py"
+    cdir.mkdir(parents=True)
+    with open(cdir / "test_batch", "wb") as f:
+        pickle.dump(
+            {b"data": (rng.rand(8, 3072) * 255).astype("uint8"),
+             b"labels": list(rng.randint(0, 10, 8))}, f)
+    with open(cdir / "batches.meta", "wb") as f:
+        pickle.dump({b"label_names": [f"c{i}".encode() for i in range(10)]}, f)
+
+    rc = zero_shot_eval.main([
+        "--dataset", "cifar10", "--data_dir", str(tmp_path / "cifar"),
+        "--model", "both", "--checkpoint", str(ckpt),
+        "--model_preset", "tiny", "--clip_weights", str(snapshot),
+        "--tokenizer_dir", "hash",
+        "--results_file", "cifar_zero_shot_results.txt",
+    ])
+    assert rc == 0
+    body = (tmp_path / "cifar_zero_shot_results.txt").read_text()
+    assert body.startswith("Zero-Shot CIFAR Results")
+    # Reference body format (CIFAR_zeroshot.py:203-214): one line per model
+    # with Top-1 and Top-5 together, plus the relative change.
+    for line in ("Base CLIP Top-1:", "Custom Model Top-1:",
+                 "Relative Change:"):
+        assert line in body, body
+    assert ", Top-5:" in body
