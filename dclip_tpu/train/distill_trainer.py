@@ -234,13 +234,26 @@ class DistillTrainer(BaseTrainer):
             pallas_interpret=self._pallas_interpret,
         )
         self.teacher = PatchTextAggregation(cfg.teacher, dtype=dtype)
-        # Region-encode kernel choice (measured on v5e, 512 crops):
-        # fused ATTENTION inside the module wins when a crop-resize feeds
-        # the ViT (XLA fuses the gather into its own ops; 143 ms) over the
-        # fully fused block kernels (152 ms — the XLA->Pallas boundary
-        # materializes the crop). kernels.vit_block serves the cropless
-        # eval forwards instead, where it wins (120 vs 139 ms).
+        # Region-encode kernel choice (re-measured on v5e, 512 B/16 crops,
+        # min over repetitions to exclude tunnel degradation windows):
+        # the fully fused block kernels win fed by the crop too —
+        # crop+blocks 121.8 ms vs crop+module(fused attention) 137.9 ms;
+        # the crop's incremental cost over the cropless blocks (116.8 ms)
+        # is ~5 ms, not the round-2 outlier that demoted this path. Gated
+        # to single-device meshes: under dp>1 the frozen forward runs
+        # inside the sharded teacher jits, where the module path is the
+        # proven configuration.
         self._frozen_image_features = None
+        if cfg.use_pallas and self.mesh.devices.size == 1:
+            from dclip_tpu.kernels.vit_block import fused_image_features
+
+            _tccfg = self.teacher_clip_config
+            _interp = self._pallas_interpret
+            self._frozen_image_features = (
+                lambda v, px: fused_image_features(
+                    _tccfg, v, px, dtype=dtype, interpret=_interp
+                )
+            )
 
         self._unfrozen_extra: tuple = ()
         self._build_optimizer(student_variables["params"])

@@ -83,10 +83,21 @@ class TeacherTrainer(BaseTrainer):
             pallas_interpret=self._pallas_interpret,
         )
         self.teacher = PatchTextAggregation(cfg.teacher, dtype=dtype)
-        # Region encode keeps the fused-ATTENTION module path: measured
-        # faster than full block kernels when fed by the crop-resize (see
-        # distill_trainer for the numbers).
+        # Region encode uses the fused block kernels on single-device TPU
+        # meshes — re-measured faster than the fused-attention module path
+        # even when fed by the crop-resize (see distill_trainer for the
+        # numbers and the dp>1 gating rationale).
         self._frozen_image_features = None
+        if cfg.use_pallas and self.mesh.devices.size == 1:
+            from dclip_tpu.kernels.vit_block import fused_image_features
+
+            _ccfg = self.clip_config
+            _interp = self._pallas_interpret
+            self._frozen_image_features = (
+                lambda v, px: fused_image_features(
+                    _ccfg, v, px, dtype=dtype, interpret=_interp
+                )
+            )
 
         if teacher_params is None:
             d = cfg.teacher.embed_dim
