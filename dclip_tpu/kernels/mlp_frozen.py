@@ -1,0 +1,281 @@
+"""Trainable-input fused MLP block for FROZEN-weight encoder layers.
+
+The student's default trainable mask (train/optim.py, reference
+CLIP_image_distillation.py:504-506 semantics) trains only the attention
+projections inside the vision encoder — every MLP and LayerNorm weight is
+frozen. The backward through each vision layer therefore needs ONLY dx
+for the MLP sub-block, yet the XLA path still streams the [B, S, mlp_dim]
+intermediate through HBM ~5 times per layer (fc1 write, fc2 read, dhg
+write+read, gelu' read of the saved pre-activation). At the bench shape
+(B=64, S=197, mlp=3072, bf16) that is ~390 MB/layer — the student step's
+dominant bandwidth term once attention is fused.
+
+This module fuses the whole sub-block `y = x + fc2(quick_gelu(fc1(LN(x))))`
+as a custom-VJP pair of rowwise Pallas kernels:
+
+  forward:  one kernel per batch row, weights VMEM-resident, emits y and
+            the fc1 pre-activation a1 (the flash-style "cheap residual" —
+            saving it costs ONE [B, S, mlp] write instead of recomputing
+            fc1 in the backward).
+  backward: one kernel per batch row, reads (x, g, a1), loops the mlp dim
+            in static chunks so only [S, chunk] f32 intermediates are ever
+            live, and emits dx = g + LN_bwd(sum_c (g W2_c^T * gelu'(a1_c))
+            W1_c^T). Weight cotangents are ZERO by construction.
+
+HBM traffic for the [B, S, mlp] tensor: 1 write (fwd) + 1 read (bwd) vs
+XLA's ~5 moves; nothing else leaves VMEM.
+
+CORRECTNESS CONTRACT: the zero weight cotangents are only valid while the
+layer's LN+MLP weights are excluded from the optimizer (the default
+student mask). DistillTrainer enables this path exactly when its
+trainable mask freezes every vision `mlp/` and `layer_norm2` leaf and
+disables it on unfreeze (`_maybe_unfreeze` rebuilds the module).
+
+Numerics: LayerNorm statistics and GELU in f32, matmuls bf16-in/f32-acc —
+same rules as kernels/vit_block.py; parity with the Flax module and with
+`jax.grad` of the XLA twin is pinned in tests/test_kernels.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dclip_tpu.kernels.vit_block import (
+    _VMEM_BUDGET,
+    _layer_norm,
+    _mlp_kernel,
+    _quick_gelu,
+)
+
+
+def _pick_chunk(mlp_dim: int) -> int:
+    """Largest divisor of mlp_dim that is <= 256 and lane-aligned when
+    possible (the chunk is the kernels' [S, chunk] working-set width)."""
+    for c in (256, 128):
+        if mlp_dim % c == 0:
+            return c
+    return mlp_dim
+
+
+# The kernel pair is admitted against the FULL 16 MB VMEM, not the 15 MB
+# shared-kernel budget: the estimate below is already conservative (Mosaic
+# reuses the f32 row buffers it counts separately), and the B/16 shape —
+# 197x768x3072, the flagship config — was validated to compile and run on
+# a real v5e chip. ViT-L/14 (16.8 MB of bf16 fc weights alone) exceeds
+# physical VMEM under any accounting and must take the XLA fallback.
+_FROZEN_VMEM_LIMIT = 16 * 2**20
+
+
+def mlp_frozen_fit(seq: int, hidden: int, mlp_dim: int, itemsize: int) -> bool:
+    """Whether the frozen-MLP kernel pair fits one program's VMEM.
+
+    Backward budget (the larger of the two): both weight matrices resident
+    (2*hidden*mlp_dim*itemsize), the double-buffered row blocks
+    (x, g, a1 in; dx out), ~2 live [seq, hidden] f32 rows (Mosaic reuses
+    the rest in place) and ~3 live [seq, chunk] f32 chunk intermediates.
+    ViT-L/14 fails and falls back to the XLA path — correct, just slower.
+    """
+    f32 = 4
+    chunk = _pick_chunk(mlp_dim)
+    blocks = 2 * (4 * seq * hidden + seq * mlp_dim) * itemsize
+    weights = 2 * hidden * mlp_dim * itemsize
+    work = 2 * seq * hidden * f32 + 3 * seq * chunk * f32
+    return weights + blocks + work <= _FROZEN_VMEM_LIMIT
+
+
+def _fwd_save_kernel(eps: float, chunk: int,
+                     x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                     o_ref, a1_ref):
+    """y = x + fc2(quick_gelu(fc1(LN(x)))), also emitting the fc1
+    pre-activation. Chunked over the mlp dim so the extra a1 output block
+    does not push the working set past the existing MLP kernel's budget."""
+    x = x_ref[0].astype(jnp.float32)  # [S, D]
+    h = _layer_norm(x, lns_ref[:], lnb_ref[:], eps)
+    out = x
+    mlp_dim = w1_ref.shape[1]
+    for c0 in range(0, mlp_dim, chunk):
+        sl = slice(c0, c0 + chunk)
+        a1_c = jnp.dot(
+            h, w1_ref[:, sl].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[sl]
+        a1_ref[0, :, sl] = a1_c.astype(a1_ref.dtype)
+        out = out + jnp.dot(
+            _quick_gelu(a1_c), w2_ref[sl, :].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[0] = (out + b2_ref[:]).astype(o_ref.dtype)
+
+
+def _bwd_dx_kernel(eps: float, chunk: int,
+                   x_ref, g_ref, a1_ref, lns_ref, w1_ref, w2_ref,
+                   dx_ref):
+    """dx for y = x + fc2(quick_gelu(fc1(LN(x)))) with frozen weights.
+
+    Reads the saved pre-activation instead of recomputing fc1 (saves a
+    full [S, D]x[D, mlp] GEMM per row); LayerNorm statistics are
+    recomputed from x (cheaper than saving [S, D] xhat)."""
+    x = x_ref[0].astype(jnp.float32)  # [S, D]
+    g = g_ref[0].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(jnp.square(xc), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    dh = jnp.zeros_like(x)
+    mlp_dim = w1_ref.shape[1]
+    for c0 in range(0, mlp_dim, chunk):
+        sl = slice(c0, c0 + chunk)
+        a1_c = a1_ref[0, :, sl].astype(jnp.float32)  # [S, C]
+        s = jax.nn.sigmoid(1.702 * a1_c)
+        # d/da quick_gelu(a) = s + 1.702 a s (1 - s)
+        dgelu = s + 1.702 * a1_c * s * (1.0 - s)
+        dhg_c = jax.lax.dot_general(  # g W2_c^T -> [S, C]
+            g, w2_ref[sl, :].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        da1_c = dhg_c * dgelu
+        dh = dh + jax.lax.dot_general(  # da1_c W1_c^T -> [S, D]
+            da1_c, w1_ref[:, sl].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    # LayerNorm backward w.r.t. x (scale/bias frozen):
+    # dx = rstd * (dxhat - mean(dxhat) - xhat * mean(dxhat * xhat))
+    dxhat = dh * lns_ref[:]
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ref[0] = (g + rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
+def _row_spec(b, s, d):
+    return pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _const_specs(weights):
+    return [
+        pl.BlockSpec(
+            w.shape,
+            (lambda i: (0, 0)) if w.ndim == 2 else (lambda i: (0,)),
+            memory_space=pltpu.VMEM,
+        )
+        for w in weights
+    ]
+
+
+def mlp_block_frozen(
+    x: jnp.ndarray,  # [B, S, D]
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w1: jnp.ndarray,  # [D, mlp]
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,  # [mlp, D]
+    b2: jnp.ndarray,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable-in-x fused MLP block with FROZEN weights.
+
+    Weight cotangents are zero (see module docstring for the contract);
+    callers must only enable this when the optimizer mask excludes the
+    layer's LN+MLP weights.
+    """
+    b, s, d = x.shape
+    mlp_dim = w1.shape[1]
+    chunk = _pick_chunk(mlp_dim)
+
+    # The weights are EXPLICIT custom_vjp args (a custom_vjp may not close
+    # over values under differentiation — the trainer differentiates the
+    # whole param tree even though the optimizer masks these leaves); the
+    # bwd rule returns zero cotangents for all six.
+    @jax.custom_vjp
+    def f(x, ln_scale, ln_bias, w1, b1, w2, b2):
+        # Primal (no-grad) call: the existing forward-only MLP kernel —
+        # no pointless [B, S, mlp] residual write on inference paths.
+        consts = _cast_consts(x, ln_scale, ln_bias, w1, b1, w2, b2)
+        return pl.pallas_call(
+            functools.partial(_mlp_kernel, eps),
+            grid=(b,),
+            in_specs=[_row_spec(b, s, d)] + _const_specs(consts),
+            out_specs=_row_spec(b, s, d),
+            out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+            interpret=interpret,
+        )(x, *consts)
+
+    def fwd(x, ln_scale, ln_bias, w1, b1, w2, b2):
+        consts = _cast_consts(x, ln_scale, ln_bias, w1, b1, w2, b2)
+        a1_spec = pl.BlockSpec(
+            (1, s, mlp_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        y, a1 = pl.pallas_call(
+            functools.partial(_fwd_save_kernel, eps, chunk),
+            grid=(b,),
+            in_specs=[_row_spec(b, s, d)] + _const_specs(consts),
+            out_specs=(_row_spec(b, s, d), a1_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, s, d), x.dtype),
+                jax.ShapeDtypeStruct((b, s, mlp_dim), x.dtype),
+            ),
+            interpret=interpret,
+        )(x, *consts)
+        return y, (x, a1, consts[0], consts[2], consts[4],
+                   (ln_scale, ln_bias, w1, b1, w2, b2))
+
+    def bwd(res, g):
+        xr, a1, ln_s, w1c, w2c, origs = res
+        bwd_consts = [ln_s, w1c, w2c]
+        a1_spec = pl.BlockSpec(
+            (1, s, mlp_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        dx = pl.pallas_call(
+            functools.partial(_bwd_dx_kernel, eps, chunk),
+            grid=(b,),
+            in_specs=[_row_spec(b, s, d), _row_spec(b, s, d), a1_spec]
+            + _const_specs(bwd_consts),
+            out_specs=_row_spec(b, s, d),
+            out_shape=jax.ShapeDtypeStruct((b, s, d), xr.dtype),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * b * s * d * mlp_dim,
+                bytes_accessed=(3 * b * s * d + b * s * mlp_dim)
+                * xr.dtype.itemsize,
+                transcendentals=b * s * mlp_dim,
+            ),
+        )(xr, g.astype(xr.dtype), a1, *bwd_consts)
+        return (dx.astype(xr.dtype),) + tuple(
+            jnp.zeros_like(o) for o in origs
+        )
+
+    f.defvjp(fwd, bwd)
+    return f(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _cast_consts(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    """Weight list in kernel order/dtypes: LN params + biases f32, fc
+    kernels in the activation dtype (bf16 on TPU)."""
+    wdt = x.dtype
+    return [
+        ln_scale.astype(jnp.float32),
+        ln_bias.astype(jnp.float32),
+        w1.astype(wdt),
+        b1.astype(jnp.float32),
+        w2.astype(wdt),
+        b2.astype(jnp.float32),
+    ]
+
+
+def mlp_frozen_xla(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=1e-5):
+    """XLA twin (parity reference for the kernels above)."""
+    xf = x.astype(jnp.float32)
+    h = _layer_norm(
+        xf, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32), eps
+    )
+    h = h @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
+    h = _quick_gelu(h)
+    h = h @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
+    return (xf + h).astype(x.dtype)

@@ -100,6 +100,47 @@ class Attention(nn.Module):
         return nn.Dense(self.hidden, dtype=self.dtype, name="out_proj")(out)
 
 
+class _LNParams(nn.Module):
+    """Declares LayerNorm params (same names/init as nn.LayerNorm) without
+    running the normalization — feeds the fused frozen-MLP kernel."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-compatible params without the matmul."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel", nn.initializers.lecun_normal(), (self.din, self.dout)
+            ),
+            self.param("bias", nn.initializers.zeros, (self.dout,)),
+        )
+
+
+class _MLPParams(nn.Module):
+    din: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.din, self.hidden, name="fc1")()
+        w2, b2 = _DenseParams(self.hidden, self.din, name="fc2")()
+        return w1, b1, w2, b2
+
+
 class EncoderLayer(nn.Module):
     hidden: int
     heads: int
@@ -109,6 +150,11 @@ class EncoderLayer(nn.Module):
     fused: bool = False
     interpret: bool = False
     causal: bool = False
+    # Route LN2+MLP through the frozen-weight fused kernel pair
+    # (kernels/mlp_frozen.py). ONLY valid while the layer's LN2/MLP params
+    # are excluded from the optimizer: the kernel's VJP returns zero
+    # weight cotangents by construction. Param tree is unchanged.
+    fused_frozen_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, padding_mask=None):
@@ -117,6 +163,15 @@ class EncoderLayer(nn.Module):
             self.hidden, self.heads, self.dtype, self.fused, self.interpret,
             self.causal, name="self_attn",
         )(h, padding_mask)
+        if self.fused_frozen_mlp:
+            from dclip_tpu.kernels.mlp_frozen import mlp_block_frozen
+
+            ln_s, ln_b = _LNParams(self.hidden, name="layer_norm2")()
+            w1, b1, w2, b2 = _MLPParams(self.hidden, self.mlp_dim, name="mlp")()
+            return mlp_block_frozen(
+                x, ln_s, ln_b, w1, b1, w2, b2,
+                eps=self.eps, interpret=self.interpret,
+            )
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm2")(x)
         x = x + MLP(self.mlp_dim, self.hidden, self.dtype, name="mlp")(h)
         return x
@@ -133,6 +188,7 @@ class Encoder(nn.Module):
     fused: bool = False
     interpret: bool = False
     causal: bool = False
+    fused_frozen_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, padding_mask=None):
@@ -149,6 +205,7 @@ class Encoder(nn.Module):
                 self.fused,
                 self.interpret,
                 self.causal,
+                self.fused_frozen_mlp,
                 name=f"layers_{i}",
             )(x, padding_mask)
         return x
@@ -210,6 +267,7 @@ class CLIPVisionEncoder(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     pallas_interpret: bool = False
+    fused_frozen_mlp: bool = False
 
     @nn.compact
     def __call__(self, pixel_values):
@@ -248,6 +306,7 @@ class CLIPVisionEncoder(nn.Module):
             self.remat,
             self.fused_attention,
             self.pallas_interpret,
+            fused_frozen_mlp=self.fused_frozen_mlp,
             name="encoder",
         )(x)
         pooled = x[:, 0]
@@ -271,6 +330,10 @@ class CLIPModule(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     pallas_interpret: bool = False
+    # Fused frozen-weight MLP blocks in the VISION encoder only (the text
+    # stack is trainable by default — its MLP weights need real grads).
+    # See kernels/mlp_frozen.py for the zero-weight-cotangent contract.
+    fused_frozen_mlp: bool = False
 
     def setup(self):
         self.text_model = CLIPTextEncoder(
@@ -280,6 +343,7 @@ class CLIPModule(nn.Module):
         self.vision_model = CLIPVisionEncoder(
             self.cfg.vision, self.dtype, self.remat,
             self.fused_attention, self.pallas_interpret,
+            fused_frozen_mlp=self.fused_frozen_mlp,
         )
         self.text_projection = nn.Dense(
             self.cfg.projection_dim, use_bias=False, dtype=self.dtype

@@ -223,11 +223,9 @@ class DistillTrainer(BaseTrainer):
         self._pallas_interpret = not is_tpu_platform(
             self.mesh.devices.flat[0].platform
         )
-        self.student = CLIPModule(
-            self.student_config, dtype=dtype, remat=cfg.remat,
-            fused_attention=cfg.use_pallas,
-            pallas_interpret=self._pallas_interpret,
-        )
+        self._student_dtype = dtype
+        self._unfrozen_extra: tuple = ()
+        self.student = self._make_student(student_variables["params"])
         self.teacher_clip = CLIPModule(
             self.teacher_clip_config, dtype=dtype,
             fused_attention=cfg.use_pallas,
@@ -255,7 +253,6 @@ class DistillTrainer(BaseTrainer):
                 )
             )
 
-        self._unfrozen_extra: tuple = ()
         self._build_optimizer(student_variables["params"])
         self.state = TrainState.create(student_variables["params"], self.tx)
         self.teacher_clip_variables = teacher_clip_variables
@@ -282,6 +279,53 @@ class DistillTrainer(BaseTrainer):
         self._init_knn_gate(knn_store, projection_params, cfg.teacher.embed_dim)
         if teacher_cache is not None and not teacher_cache.salt:
             teacher_cache.salt = self._teacher_fingerprint()
+
+    def _vision_mlp_frozen(self, params) -> bool:
+        """True iff the CURRENT trainable mask excludes every vision
+        `mlp/` and `layer_norm2` leaf — the validity condition for the
+        frozen-weight fused MLP kernel (its VJP returns zero weight
+        cotangents, see kernels/mlp_frozen.py)."""
+        import flax
+
+        mask = student_trainable_mask(
+            params,
+            self._unfrozen_extra,
+            freeze_text=self.cfg.unfreeze_text_at_epoch is not None,
+        )
+        flat = flax.traverse_util.flatten_dict(mask)
+        for path, trainable in flat.items():
+            name = "/".join(str(k) for k in path)
+            if name.startswith("vision_model/") and (
+                "/mlp/" in name or "layer_norm2" in name
+            ):
+                if trainable:
+                    return False
+        return True
+
+    def _make_student(self, params) -> CLIPModule:
+        """Student module for the current unfreeze stage: the fused
+        frozen-MLP vision path is enabled exactly while the mask keeps
+        the vision LN2+MLP weights frozen and the kernel pair fits VMEM
+        (ViT-L/14 overflows and stays on XLA)."""
+        fused_frozen = False
+        if self.cfg.use_pallas:
+            from dclip_tpu.kernels.mlp_frozen import mlp_frozen_fit
+
+            v = self.student_config.vision
+            fused_frozen = mlp_frozen_fit(
+                v.num_patches + 1,
+                v.hidden_size,
+                v.mlp_dim,
+                jnp.dtype(self._student_dtype).itemsize,
+            ) and self._vision_mlp_frozen(params)
+        return CLIPModule(
+            self.student_config,
+            dtype=self._student_dtype,
+            remat=self.cfg.remat,
+            fused_attention=self.cfg.use_pallas,
+            pallas_interpret=self._pallas_interpret,
+            fused_frozen_mlp=fused_frozen,
+        )
 
     def _teacher_fingerprint(self) -> str:
         """Digest of everything that determines teacher targets: teacher
@@ -636,7 +680,13 @@ class DistillTrainer(BaseTrainer):
         if set(new) != set(self._unfrozen_extra):
             self._unfrozen_extra = new
             placed = self._place_params(self.state.params)
-            self._build_optimizer(jax.device_get(self.state.params))
+            host_params = jax.device_get(self.state.params)
+            self._build_optimizer(host_params)
+            # The unfreeze may bring vision LN2/MLP weights into the
+            # optimizer — the frozen-weight fused MLP kernel (zero weight
+            # cotangents) would silently drop their grads. Rebuild the
+            # student module against the NEW mask.
+            self.student = self._make_student(host_params)
             self.state = TrainState(
                 step=replicate_tree(jax.device_get(self.state.step), self.mesh),
                 params=placed,
@@ -645,6 +695,9 @@ class DistillTrainer(BaseTrainer):
             self._train_step = make_train_step(
                 self._student_loss, self.tx, donate=False
             )
+            # _eval_loss closes over self.student at trace time; a stale
+            # jit cache would keep evaluating the pre-unfreeze module.
+            self._eval_loss = jax.jit(self._loss)
 
     # -- BaseTrainer hooks --------------------------------------------------------
 

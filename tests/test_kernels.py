@@ -341,3 +341,103 @@ def test_fused_image_features_vmem_fallback(monkeypatch):
     l14 = CLIPConfig.vit_l_14().vision
     attn_ok, mlp_ok = vit_block.block_fit(257, l14.hidden_size, l14.mlp_dim, 2)
     assert not mlp_ok
+
+
+# -- frozen-weight fused MLP block (kernels/mlp_frozen.py) --------------------
+
+
+@pytest.fixture(scope="module")
+def frozen_mlp_args():
+    from dclip_tpu.kernels.mlp_frozen import mlp_block_frozen  # noqa: F401
+
+    rng = np.random.RandomState(7)
+    B, S, Dm, M = 3, 16, 64, 256
+    x = jnp.asarray(rng.randn(B, S, Dm).astype(np.float32))
+    return (
+        x,
+        jnp.asarray(1 + 0.1 * rng.randn(Dm).astype(np.float32)),
+        jnp.asarray(0.1 * rng.randn(Dm).astype(np.float32)),
+        jnp.asarray(rng.randn(Dm, M).astype(np.float32) * 0.05),
+        jnp.asarray(0.1 * rng.randn(M).astype(np.float32)),
+        jnp.asarray(rng.randn(M, Dm).astype(np.float32) * 0.05),
+        jnp.asarray(0.1 * rng.randn(Dm).astype(np.float32)),
+    )
+
+
+def test_mlp_frozen_forward_parity(frozen_mlp_args):
+    from dclip_tpu.kernels.mlp_frozen import mlp_block_frozen, mlp_frozen_xla
+
+    want = mlp_frozen_xla(*frozen_mlp_args)
+    got = mlp_block_frozen(*frozen_mlp_args, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_mlp_frozen_grad_parity(frozen_mlp_args):
+    """dx matches jax.grad of the XLA twin; all six weight cotangents are
+    exactly zero (the frozen-weight contract the trainer relies on)."""
+    from dclip_tpu.kernels.mlp_frozen import mlp_block_frozen, mlp_frozen_xla
+
+    co = jnp.asarray(
+        np.random.RandomState(8).randn(*frozen_mlp_args[0].shape).astype(np.float32)
+    )
+    gk = jax.grad(
+        lambda *a: jnp.sum(mlp_block_frozen(*a, interpret=True) * co),
+        argnums=tuple(range(7)),
+    )(*frozen_mlp_args)
+    gx = jax.grad(lambda *a: jnp.sum(mlp_frozen_xla(*a) * co), argnums=0)(
+        *frozen_mlp_args
+    )
+    np.testing.assert_allclose(
+        np.asarray(gk[0]), np.asarray(gx), rtol=1e-4, atol=1e-5
+    )
+    for g in gk[1:]:
+        assert float(jnp.abs(g).max()) == 0.0
+
+
+def test_mlp_frozen_fit_budget():
+    """B/16 fits; ViT-L/14 does not (falls back to XLA)."""
+    from dclip_tpu.core.config import CLIPConfig
+    from dclip_tpu.kernels.mlp_frozen import mlp_frozen_fit
+
+    b16 = CLIPConfig.vit_b_16().vision
+    assert mlp_frozen_fit(b16.num_patches + 1, b16.hidden_size, b16.mlp_dim, 2)
+    l14 = CLIPConfig.vit_l_14().vision
+    assert not mlp_frozen_fit(l14.num_patches + 1, l14.hidden_size, l14.mlp_dim, 2)
+
+
+def test_clip_fused_frozen_mlp_module_parity():
+    """CLIPModule(fused_frozen_mlp=True) produces the same param tree and
+    (to bf16-vs-f32 LN tolerance) the same image features as the default
+    module; grads flow to attention while vision LN2/MLP get zeros."""
+    from dclip_tpu.core.config import CLIPConfig
+    from dclip_tpu.models.clip import CLIPModule
+
+    cfg = CLIPConfig.tiny_test()
+    base = CLIPModule(cfg)
+    fused = CLIPModule(cfg, fused_frozen_mlp=True, pallas_interpret=True)
+    ids = jnp.ones((2, cfg.text.max_length), jnp.int32)
+    px = jnp.asarray(
+        np.random.RandomState(3)
+        .randn(2, cfg.vision.image_size, cfg.vision.image_size, 3)
+        .astype(np.float32)
+    )
+    v = base.init(jax.random.PRNGKey(0), ids, px)
+    vf = fused.init(jax.random.PRNGKey(0), ids, px)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vf)
+
+    want = base.apply(v, px, method=base.get_image_features)
+    got = fused.apply(v, px, method=fused.get_image_features)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+    def loss(params, m):
+        return jnp.sum(m.apply({"params": params}, px, method=m.get_image_features))
+
+    g = jax.grad(loss)(vf["params"], fused)
+    l0 = g["vision_model"]["encoder"]["layers_0"]
+    assert float(jnp.abs(l0["mlp"]["fc1"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(l0["layer_norm2"]["scale"]).max()) == 0.0
+    assert float(jnp.abs(l0["self_attn"]["q_proj"]["kernel"]).max()) > 0.0

@@ -756,3 +756,37 @@ def test_tp_resume_keeps_opt_state_sharded(distill_setup, cpu_devices, tmp_path)
     # And resumed training still steps.
     m = trainer2.train_step_on_batch(pipe.batches[0])
     assert np.isfinite(float(m["loss"]))
+
+
+def test_distill_fused_frozen_mlp_toggle(distill_setup, cpu_mesh):
+    """With use_pallas, the student's vision stack runs the frozen-weight
+    fused MLP blocks exactly while the mask freezes vision LN2/MLP; an
+    unfreeze stage touching them rebuilds the module WITHOUT the kernel
+    (whose VJP would silently zero their grads), and training then
+    actually updates the vision MLP weights."""
+    import dataclasses
+
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    cfg2 = dataclasses.replace(
+        cfg,
+        use_pallas=True,
+        phase1_epochs=2,
+        unfreeze_schedule=(UnfreezeStage(epoch=1, patterns=("mlp",)),),
+    )
+    trainer = DistillTrainer(
+        cfg2, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=cpu_mesh
+    )
+    assert trainer.student.fused_frozen_mlp
+    pipe = FakePipeline(clip_cfg, 1)
+    trainer._maybe_unfreeze(0)
+    trainer.train_epoch(pipe.epoch(0))
+    assert trainer.student.fused_frozen_mlp
+    mid = jax.device_get(trainer.state.params)
+    trainer._maybe_unfreeze(1)
+    assert not trainer.student.fused_frozen_mlp
+    trainer.train_epoch(pipe.epoch(1))
+    after = jax.device_get(trainer.state.params)
+    assert not np.allclose(
+        mid["vision_model"]["encoder"]["layers_0"]["mlp"]["fc1"]["kernel"],
+        after["vision_model"]["encoder"]["layers_0"]["mlp"]["fc1"]["kernel"],
+    )
