@@ -56,23 +56,30 @@ def _kernel(num_heads: int, scale: float, causal: bool, use_pad: bool, *refs):
     else:
         q_ref, k_ref, v_ref, o_ref = refs
         pad_row = None
-    q = q_ref[0].astype(jnp.float32)  # [S, D]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # Matmul inputs stay in the input dtype (bf16 on TPU — f32 inputs run
+    # the MXU at half rate); accumulation and softmax are f32. The scale
+    # is applied to the f32 logits, not the bf16 operand (better rounding
+    # AND no extra VPU pass over q).
+    q = q_ref[0]  # [S, D]
+    k = k_ref[0]
+    v = v_ref[0]
     d = q.shape[-1]
     head_dim = d // num_heads
     outs = []
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        logits = jax.lax.dot_general(
-            q[:, sl] * scale,
+        logits = scale * jax.lax.dot_general(
+            q[:, sl],
             k[:, sl],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [S, S]
+        )  # [S, S] f32
         probs = jax.nn.softmax(_mask_logits(logits, causal, pad_row), axis=-1)
         outs.append(
-            jnp.dot(probs, v[:, sl], preferred_element_type=jnp.float32)
+            jnp.dot(
+                probs.astype(v.dtype), v[:, sl],
+                preferred_element_type=jnp.float32,
+            )
         )
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
@@ -164,26 +171,29 @@ def _bwd_kernel(num_heads: int, scale: float, causal: bool, use_pad: bool,
     else:
         q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref = refs
         pad_row = None
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
+    # Same dtype discipline as the forward: bf16 matmul operands, f32
+    # accumulation/softmax (f32 operands would halve the MXU rate).
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
     d = q.shape[-1]
     head_dim = d // num_heads
     dqs, dks, dvs = [], [], []
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         qh, kh, vh, gh = q[:, sl], k[:, sl], v[:, sl], g[:, sl]
-        logits = jax.lax.dot_general(
-            qh * scale, kh,
+        logits = scale * jax.lax.dot_general(
+            qh, kh,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         p = jax.nn.softmax(
             _mask_logits(logits, causal, pad_row), axis=-1
-        )  # [S, S]
+        )  # [S, S] f32
+        pb = p.astype(q.dtype)
         dv = jax.lax.dot_general(  # P^T g -> [S, hd]
-            p, gh,
+            pb, gh,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -193,9 +203,10 @@ def _bwd_kernel(num_heads: int, scale: float, causal: bool, use_pad: bool,
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = scale * jnp.dot(ds, kh, preferred_element_type=jnp.float32)
+        dsb = ds.astype(q.dtype)
+        dq = scale * jnp.dot(dsb, kh, preferred_element_type=jnp.float32)
         dk = scale * jax.lax.dot_general(  # dS^T q -> [S, hd]
-            ds, qh,
+            dsb, qh,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
