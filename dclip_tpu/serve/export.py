@@ -1,0 +1,158 @@
+"""AOT export/load of the CLIP encode functions (`jax.export`).
+
+A serving container should ship a model ARTIFACT, not the framework's
+module code: `export_encoders` lowers the text/image encode functions to
+StableHLO for each serving bucket and writes them (plus a manifest) to a
+directory; `load_exported` rehydrates callables from the artifact alone
+— no Flax model, no config classes, no weight files (weights are baked
+into the exported computation as constants).
+
+New capability vs the reference (its eval scripts re-instantiate
+`CLIPModel.from_pretrained` everywhere; there is no deployment artifact).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+_MANIFEST = "manifest.json"
+
+
+def export_encoders(
+    model,
+    variables: Dict[str, Any],
+    cfg,
+    out_dir: str,
+    batch_sizes: Sequence[int] = (1, 8, 32),
+    platforms: Optional[Sequence[str]] = None,
+) -> Dict[str, int]:
+    """Serialize text/image encoders for each batch size into `out_dir`.
+
+    platforms: lowering targets (default: the current backend). Pass
+    e.g. ("cpu", "tpu") for an artifact loadable on both.
+    Returns {artifact_name: bytes_written}.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    text_len = cfg.text.max_length
+    img_size = cfg.vision.image_size
+
+    def text_fn(ids, mask):
+        emb = model.apply(variables, ids, mask, method=model.get_text_features)
+        emb = emb.astype(jnp.float32)
+        return emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
+        )
+
+    def image_fn(pixels):
+        emb = model.apply(variables, pixels, method=model.get_image_features)
+        emb = emb.astype(jnp.float32)
+        return emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
+        )
+
+    kw = {} if platforms is None else {"platforms": tuple(platforms)}
+    written: Dict[str, int] = {}
+    entries = []
+    for b in sorted(set(batch_sizes)):
+        specs = {
+            "text": (
+                text_fn,
+                (
+                    jax.ShapeDtypeStruct((b, text_len), jnp.int32),
+                    jax.ShapeDtypeStruct((b, text_len), jnp.int32),
+                ),
+            ),
+            "image": (
+                image_fn,
+                (jax.ShapeDtypeStruct((b, img_size, img_size, 3), jnp.float32),),
+            ),
+        }
+        for modality, (fn, args) in specs.items():
+            exp = jax_export.export(jax.jit(fn), **kw)(*args)
+            name = f"{modality}_b{b}.stablehlo"
+            blob = bytes(exp.serialize())
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(blob)
+            written[name] = len(blob)
+            entries.append(
+                {
+                    "modality": modality,
+                    "batch": b,
+                    "file": name,
+                    "platforms": list(exp.platforms),
+                }
+            )
+    manifest = {
+        "format": "dclip_tpu.serve.export/1",
+        "projection_dim": cfg.projection_dim,
+        "text_max_length": text_len,
+        "image_size": img_size,
+        "entries": entries,
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return written
+
+
+class ExportedEncoders:
+    """Rehydrated artifact: `.encode_texts_ids(ids, mask)` and
+    `.encode_images(pixels)` pick the smallest exported batch >= n and
+    pad (mirroring ClipService's bucketing)."""
+
+    def __init__(self, manifest: dict, fns: Dict[Tuple[str, int], Callable]):
+        self.manifest = manifest
+        self._fns = fns
+        self.text_buckets = sorted(
+            b for (m, b) in fns.keys() if m == "text"
+        )
+        self.image_buckets = sorted(
+            b for (m, b) in fns.keys() if m == "image"
+        )
+
+    def _run(self, modality: str, buckets, arrays) -> np.ndarray:
+        n = arrays[0].shape[0]
+        if n == 0:
+            return np.zeros((0, self.manifest["projection_dim"]), np.float32)
+        out = []
+        step = max(buckets)
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
+            b = next(bb for bb in buckets if bb >= hi - lo)
+            padded = [_pad_rows(a[lo:hi], b) for a in arrays]
+            out.append(np.asarray(self._fns[(modality, b)](*padded))[: hi - lo])
+        return np.concatenate(out, axis=0)
+
+    def encode_texts_ids(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        return self._run("text", self.text_buckets, [ids, mask])
+
+    def encode_images(self, pixels: np.ndarray) -> np.ndarray:
+        return self._run("image", self.image_buckets, [pixels])
+
+
+def load_exported(out_dir: str) -> ExportedEncoders:
+    with open(os.path.join(out_dir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    fmt = manifest.get("format", "")
+    if not fmt.startswith("dclip_tpu.serve.export/"):
+        raise ValueError(f"not a dclip export artifact: {out_dir} ({fmt!r})")
+    fns: Dict[Tuple[str, int], Callable] = {}
+    for e in manifest["entries"]:
+        with open(os.path.join(out_dir, e["file"]), "rb") as f:
+            exp = jax_export.deserialize(bytearray(f.read()))
+        fns[(e["modality"], int(e["batch"]))] = exp.call
+    return ExportedEncoders(manifest, fns)
+
+
+def _pad_rows(a: np.ndarray, b: int) -> np.ndarray:
+    a = np.asarray(a)
+    if a.shape[0] == b:
+        return a
+    pad = np.zeros((b - a.shape[0],) + a.shape[1:], a.dtype)
+    return np.concatenate([a, pad], axis=0)

@@ -1,0 +1,237 @@
+"""Bucket-padded CLIP encoding service.
+
+Serving on TPU wants every forward to hit an already-compiled executable:
+requests are padded up to a small set of batch buckets so jax.jit's
+shape-keyed cache compiles once per bucket and every later request
+replays. `warmup()` pre-pays all compiles at startup (first compile
+through a tunneled chip can take minutes — never pay it on a request).
+
+Text requests go raw string -> tokenizer -> [B, 77] ids; image requests
+take decoded uint8 RGB arrays and run the HF-parity host preprocessing
+(`data.pipeline.preprocess_image`, PIL bicubic) so served embeddings are
+bit-comparable with the eval stack (reference eval scripts use
+CLIPProcessor; eval_scripts/flickr30k_eval.py:149-161).
+
+An optional in-memory retrieval index (`data.embedding_store.
+EmbeddingStore` + `ops.knn.knn_search`) turns the service into a
+text->image search endpoint — the served counterpart of the repo's
+FAISS-replacing device k-NN.
+"""
+from __future__ import annotations
+
+import threading
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_BUCKETS = (1, 4, 16, 64)
+
+
+def pad_to_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n; callers chunk by max(buckets) first."""
+    if n < 1:
+        raise ValueError(f"batch must be >= 1, got {n}")
+    for b in sorted(buckets):
+        if n <= b:
+            return b
+    raise ValueError(f"batch {n} exceeds the largest bucket {max(buckets)}")
+
+
+class ClipService:
+    def __init__(
+        self,
+        model,
+        variables: Dict[str, Any],
+        cfg,
+        tokenizer=None,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        normalize: bool = True,
+        index_dim: Optional[int] = None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.buckets = tuple(sorted(buckets))
+        self.normalize = normalize
+        self._lock = threading.Lock()  # jit cache + index mutations
+        self._n_texts = 0
+        self._n_images = 0
+
+        def _text_fn(variables, ids, mask):
+            emb = model.apply(
+                variables, ids, mask, method=model.get_text_features
+            )
+            return self._maybe_normalize(emb)
+
+        def _image_fn(variables, pixels):
+            emb = model.apply(
+                variables, pixels, method=model.get_image_features
+            )
+            return self._maybe_normalize(emb)
+
+        self._text_jit = jax.jit(_text_fn)
+        self._image_jit = jax.jit(_image_fn)
+        self._search_jit = jax.jit(
+            lambda q, keys, k: _knn(q, keys, k), static_argnums=(2,)
+        )
+
+        self._index = None
+        if index_dim is not None:
+            from dclip_tpu.data.embedding_store import EmbeddingStore
+
+            self._index = EmbeddingStore(dim=index_dim)
+
+    def _maybe_normalize(self, emb: jnp.ndarray) -> jnp.ndarray:
+        emb = emb.astype(jnp.float32)
+        if not self.normalize:
+            return emb
+        return emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
+        )
+
+    # -- encoding ----------------------------------------------------------
+
+    def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+        """[N] strings -> [N, projection_dim] (L2-normalized by default)."""
+        if self.tokenizer is None:
+            raise RuntimeError("ClipService built without a tokenizer")
+        if len(texts) == 0:
+            return np.zeros((0, self.cfg.projection_dim), np.float32)
+        ids, mask = self.tokenizer.encode_batch(
+            list(texts), max_length=self.cfg.text.max_length
+        )
+        return self._run_bucketed(
+            len(texts),
+            lambda lo, hi, b: self._text_jit(
+                self.variables,
+                _pad_rows(ids[lo:hi], b),
+                _pad_rows(mask[lo:hi], b),
+            ),
+        )
+
+    def encode_images(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        """[N] uint8 RGB HWC arrays (any sizes) -> [N, projection_dim]."""
+        if len(images) == 0:
+            return np.zeros((0, self.cfg.projection_dim), np.float32)
+        from PIL import Image
+
+        from dclip_tpu.data.pipeline import preprocess_image
+
+        size = self.cfg.vision.image_size
+        pixels = np.stack(
+            [
+                preprocess_image(
+                    Image.fromarray(np.asarray(im, np.uint8)), size
+                )
+                for im in images
+            ]
+        ).astype(np.float32)
+        return self._run_bucketed(
+            len(images),
+            lambda lo, hi, b: self._image_jit(
+                self.variables, _pad_rows(pixels[lo:hi], b)
+            ),
+        )
+
+    def _run_bucketed(self, n: int, run_chunk) -> np.ndarray:
+        """Chunk [0, n) by the largest bucket, pad each chunk up to its
+        bucket, run, and strip the padding."""
+        out = []
+        step = max(self.buckets)
+        with self._lock:
+            for lo in range(0, n, step):
+                hi = min(lo + step, n)
+                b = pad_to_bucket(hi - lo, self.buckets)
+                emb = np.asarray(run_chunk(lo, hi, b))
+                out.append(emb[: hi - lo])
+        if out and out[0].ndim == 1:  # single-row model outputs
+            out = [o[None] for o in out]
+        result = np.concatenate(out, axis=0)
+        return result
+
+    def warmup(self) -> Dict[str, float]:
+        """Compile every bucket for both modalities; returns seconds per
+        (modality, bucket) so startup time is observable."""
+        import time
+
+        timings = {}
+        size = self.cfg.vision.image_size
+        for b in self.buckets:
+            t0 = time.perf_counter()
+            ids = np.full((b, self.cfg.text.max_length), 1, np.int32)
+            mask = np.ones((b, self.cfg.text.max_length), np.int32)
+            np.asarray(self._text_jit(self.variables, ids, mask))
+            timings[f"text/{b}"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            px = np.zeros((b, size, size, 3), np.float32)
+            np.asarray(self._image_jit(self.variables, px))
+            timings[f"image/{b}"] = round(time.perf_counter() - t0, 3)
+        return timings
+
+    # -- retrieval index ---------------------------------------------------
+
+    @property
+    def index_size(self) -> int:
+        return 0 if self._index is None else len(self._index)
+
+    def add_to_index(
+        self, ids: Sequence[str], embeddings: np.ndarray
+    ) -> None:
+        if self._index is None:
+            raise RuntimeError("ClipService built without index_dim")
+        with self._lock:
+            self._index.add_batch(list(ids), np.asarray(embeddings))
+
+    def index_images(
+        self, ids: Sequence[str], images: Sequence[np.ndarray]
+    ) -> None:
+        self.add_to_index(ids, self.encode_images(images))
+
+    def search_texts(
+        self, texts: Sequence[str], k: int = 5
+    ) -> List[List[Tuple[str, float]]]:
+        """Text queries -> top-k (id, score) over the image index."""
+        return self.search(self.encode_texts(texts), k)
+
+    def search(
+        self, queries: np.ndarray, k: int = 5
+    ) -> List[List[Tuple[str, float]]]:
+        if self._index is None:
+            raise RuntimeError("ClipService built without index_dim")
+        if len(self._index) == 0:
+            return [[] for _ in range(len(queries))]
+        keys = self._index.keys
+        k_eff = min(k, keys.shape[0])
+        scores, idx = self._search_jit(
+            jnp.asarray(queries, jnp.float32), jnp.asarray(keys), k_eff
+        )
+        scores, idx = np.asarray(scores), np.asarray(idx)
+        ids = self._index.ids
+        return [
+            [(ids[j], float(s)) for j, s in zip(row_i, row_s)]
+            for row_i, row_s in zip(idx, scores)
+        ]
+
+    def stats(self) -> dict:
+        return {
+            "buckets": list(self.buckets),
+            "index_size": self.index_size,
+            "projection_dim": self.cfg.projection_dim,
+        }
+
+
+def _pad_rows(a: np.ndarray, b: int) -> np.ndarray:
+    if a.shape[0] == b:
+        return a
+    pad = np.zeros((b - a.shape[0],) + a.shape[1:], a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def _knn(q, keys, k):
+    from dclip_tpu.ops.knn import knn_search
+
+    return knn_search(q, keys, k)

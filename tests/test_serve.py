@@ -1,0 +1,281 @@
+"""Serving subsystem: batcher semantics, bucketed service, AOT export,
+HTTP endpoint. All on the tiny CPU config (reference has no serving path
+— SURVEY.md §2; this is added deployment capability)."""
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dclip_tpu.core.config import CLIPConfig
+from dclip_tpu.data.tokenizer import HashTokenizer
+from dclip_tpu.models.clip import CLIPModule
+from dclip_tpu.serve import (
+    ClipService,
+    DynamicBatcher,
+    export_encoders,
+    load_exported,
+    pad_to_bucket,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_service():
+    cfg = CLIPConfig.tiny_test()
+    model = CLIPModule(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.text.max_length), jnp.int32),
+        jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
+    )
+    tok = HashTokenizer(vocab_size=cfg.text.vocab_size,
+                        max_length=cfg.text.max_length)
+    service = ClipService(
+        model, variables, cfg, tokenizer=tok, buckets=(1, 2, 4),
+        index_dim=cfg.projection_dim,
+    )
+    return cfg, model, variables, tok, service
+
+
+# -- DynamicBatcher ----------------------------------------------------------
+
+
+def test_batcher_merges_concurrent_requests():
+    seen_batches = []
+
+    def run(items):
+        seen_batches.append(list(items))
+        time.sleep(0.01)
+        return [i * 10 for i in items]
+
+    with DynamicBatcher(run, max_batch=8, max_wait_s=0.05) as b:
+        results = [None] * 6
+
+        def worker(i):
+            results[i] = b.submit(i)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert results == [0, 10, 20, 30, 40, 50]
+    # All six landed while the worker lingered -> fewer batches than items.
+    assert len(seen_batches) < 6
+    assert sum(len(x) for x in seen_batches) == 6
+
+
+def test_batcher_submit_many_order_and_stats():
+    with DynamicBatcher(lambda xs: [x + 1 for x in xs], max_batch=4,
+                        max_wait_s=0.001) as b:
+        out = b.submit_many(list(range(10)))
+        assert out == list(range(1, 11))
+        s = b.stats()
+        assert s["items"] == 10 and s["requests"] == 10
+        assert s["batches"] >= 3  # max_batch=4 forces >= ceil(10/4)
+        assert s["mean_batch_size"] <= 4
+
+
+def test_batcher_error_propagates_to_batch_only():
+    calls = []
+
+    def run(items):
+        calls.append(list(items))
+        if -1 in items:
+            raise ValueError("poison")
+        return items
+
+    with DynamicBatcher(run, max_batch=1, max_wait_s=0.0) as b:
+        assert b.submit(5) == 5
+        with pytest.raises(ValueError, match="poison"):
+            b.submit(-1)
+        assert b.submit(7) == 7  # worker survived the failing batch
+
+
+def test_batcher_close_rejects_new_and_queued():
+    b = DynamicBatcher(lambda xs: xs, max_batch=4)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(1)
+
+
+def test_batcher_result_count_mismatch_is_an_error():
+    with DynamicBatcher(lambda xs: xs[:-1] if len(xs) > 1 else xs,
+                        max_batch=8, max_wait_s=0.05) as b:
+        with pytest.raises(RuntimeError, match="results"):
+            b.submit_many([1, 2, 3])
+
+
+# -- bucketing ---------------------------------------------------------------
+
+
+def test_pad_to_bucket():
+    assert pad_to_bucket(1, (1, 4, 16)) == 1
+    assert pad_to_bucket(3, (1, 4, 16)) == 4
+    assert pad_to_bucket(16, (1, 4, 16)) == 16
+    with pytest.raises(ValueError):
+        pad_to_bucket(17, (1, 4, 16))
+    with pytest.raises(ValueError):
+        pad_to_bucket(0, (1, 4, 16))
+
+
+# -- ClipService -------------------------------------------------------------
+
+
+def test_service_text_parity_and_padding_invariance(tiny_service):
+    cfg, model, variables, tok, service = tiny_service
+    texts = ["a photo of a dog", "two cats", "red car on a street",
+             "a", "mountain lake at dawn"]  # n=5 spans chunks 4 + 1
+    got = service.encode_texts(texts)
+    assert got.shape == (5, cfg.projection_dim)
+    ids, mask = tok.encode_batch(texts, max_length=cfg.text.max_length)
+    want = model.apply(variables, ids, mask, method=model.get_text_features)
+    want = np.asarray(want, np.float32)
+    want = want / np.linalg.norm(want, axis=-1, keepdims=True)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-5)
+
+
+def test_service_image_parity(tiny_service):
+    cfg, model, variables, tok, service = tiny_service
+    rng = np.random.RandomState(0)
+    images = [rng.randint(0, 255, (40 + 3 * i, 37, 3), np.uint8)
+              for i in range(3)]
+    got = service.encode_images(images)
+    assert got.shape == (3, cfg.projection_dim)
+
+    from PIL import Image
+
+    from dclip_tpu.data.pipeline import preprocess_image
+
+    px = np.stack([
+        preprocess_image(Image.fromarray(im), cfg.vision.image_size)
+        for im in images
+    ]).astype(np.float32)
+    want = np.asarray(
+        model.apply(variables, px, method=model.get_image_features), np.float32
+    )
+    want = want / np.linalg.norm(want, axis=-1, keepdims=True)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_service_search_returns_indexed_neighbor(tiny_service):
+    cfg, model, variables, tok, service = tiny_service
+    texts = ["a dog", "a cat", "an airplane"]
+    embs = service.encode_texts(texts)
+    service.add_to_index(["dog", "cat", "plane"], embs)
+    hits = service.search(embs, k=2)
+    assert [row[0][0] for row in hits] == ["dog", "cat", "plane"]
+    assert hits[0][0][1] == pytest.approx(1.0, abs=1e-4)  # self-similarity
+    assert service.index_size == 3
+    assert service.search(np.zeros((0, cfg.projection_dim)), k=2) == []
+
+
+def test_service_empty_inputs(tiny_service):
+    cfg, _, _, _, service = tiny_service
+    assert service.encode_texts([]).shape == (0, cfg.projection_dim)
+    assert service.encode_images([]).shape == (0, cfg.projection_dim)
+
+
+# -- AOT export --------------------------------------------------------------
+
+
+def test_export_roundtrip_parity(tiny_service, tmp_path):
+    cfg, model, variables, tok, service = tiny_service
+    out = str(tmp_path / "artifact")
+    written = export_encoders(
+        model, variables, cfg, out, batch_sizes=(1, 4), platforms=("cpu",)
+    )
+    assert set(written) == {
+        "text_b1.stablehlo", "text_b4.stablehlo",
+        "image_b1.stablehlo", "image_b4.stablehlo",
+    }
+    loaded = load_exported(out)
+    texts = ["a photo of a dog", "two cats", "hello"]
+    ids, mask = tok.encode_batch(texts, max_length=cfg.text.max_length)
+    got = loaded.encode_texts_ids(ids, mask)
+    want = service.encode_texts(texts)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    px = np.zeros((2, cfg.vision.image_size, cfg.vision.image_size, 3),
+                  np.float32)
+    got_i = loaded.encode_images(px)
+    assert got_i.shape == (2, cfg.projection_dim)
+    np.testing.assert_allclose(
+        np.linalg.norm(got_i, axis=-1), 1.0, atol=1e-5
+    )
+
+
+def test_load_exported_rejects_foreign_dir(tmp_path):
+    (tmp_path / "manifest.json").write_text(json.dumps({"format": "nope"}))
+    with pytest.raises(ValueError, match="not a dclip export artifact"):
+        load_exported(str(tmp_path))
+
+
+# -- HTTP endpoint -----------------------------------------------------------
+
+
+def test_http_endpoint_roundtrip(tiny_service):
+    from http.server import ThreadingHTTPServer
+
+    from dclip_tpu.cli.serve import make_handler
+
+    cfg, model, variables, tok, service = tiny_service
+    handler = make_handler(service, max_batch=8, max_wait_s=0.002)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(route, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{route}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return json.loads(r.read())
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            assert json.loads(r.read()) == {"ok": True}
+
+        # texts distinct from other tests (the module-scoped service's
+        # index already holds their embeddings)
+        out = post("/v1/embeddings/text",
+                   {"texts": ["zebra stripes", "blue whale"]})
+        embs = np.asarray(out["embeddings"], np.float32)
+        want = service.encode_texts(["zebra stripes", "blue whale"])
+        np.testing.assert_allclose(embs, want, rtol=1e-4, atol=1e-4)
+
+        post("/v1/index/add",
+             {"ids": ["zebra", "whale"], "embeddings": embs.tolist()})
+        hits = post("/v1/search", {"texts": ["zebra stripes"], "k": 1})
+        assert hits["results"][0][0]["id"] == "zebra"
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/stats", timeout=30
+        ) as r:
+            stats = json.loads(r.read())
+        assert stats["text_batcher"]["items"] >= 2
+
+        # malformed request -> 400, not a crash
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/embeddings/image",
+            data=b'{"nope": 1}',
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
