@@ -47,6 +47,7 @@ def build_service(args):
     service = ClipService(
         model, variables, cfg, tokenizer=tokenizer, buckets=buckets,
         index_dim=args.index_dim if args.index_dim > 0 else None,
+        quantize=args.quantize or None,
     )
     return service
 
@@ -230,6 +231,8 @@ def main(argv=None) -> int:
                    help="linger for batching once a request is queued")
     p.add_argument("--index_dim", type=int, default=0,
                    help=">0 enables the retrieval index endpoints")
+    p.add_argument("--quantize", default="", choices=["", "int8"],
+                   help="int8: weight-only quantized serving (serve.quant)")
     p.add_argument("--no_warmup", action="store_true")
     p.add_argument("--selftest", action="store_true",
                    help="start on an ephemeral port, run one request per "

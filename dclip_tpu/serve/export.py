@@ -32,30 +32,54 @@ def export_encoders(
     out_dir: str,
     batch_sizes: Sequence[int] = (1, 8, 32),
     platforms: Optional[Sequence[str]] = None,
+    quantize: Optional[str] = None,
 ) -> Dict[str, int]:
     """Serialize text/image encoders for each batch size into `out_dir`.
 
     platforms: lowering targets (default: the current backend). Pass
     e.g. ("cpu", "tpu") for an artifact loadable on both.
+    quantize="int8" bakes int8 weights in (serve.quant, ~4x smaller
+    artifact, weight-only dequant at run time).
     Returns {artifact_name: bytes_written}.
     """
     os.makedirs(out_dir, exist_ok=True)
     text_len = cfg.text.max_length
     img_size = cfg.vision.image_size
 
-    def text_fn(ids, mask):
-        emb = model.apply(variables, ids, mask, method=model.get_text_features)
+    def _norm(emb):
         emb = emb.astype(jnp.float32)
         return emb / jnp.maximum(
             jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
         )
 
-    def image_fn(pixels):
-        emb = model.apply(variables, pixels, method=model.get_image_features)
-        emb = emb.astype(jnp.float32)
-        return emb / jnp.maximum(
-            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
+    if quantize is None:
+        def text_fn(ids, mask):
+            return _norm(model.apply(
+                variables, ids, mask, method=model.get_text_features
+            ))
+
+        def image_fn(pixels):
+            return _norm(model.apply(
+                variables, pixels, method=model.get_image_features
+            ))
+
+    elif quantize == "int8":
+        from dclip_tpu.serve.quant import (
+            quantize_clip,
+            quantized_image_features,
+            quantized_text_features,
         )
+
+        qparams = quantize_clip(variables, cfg)
+
+        def text_fn(ids, mask):
+            return _norm(quantized_text_features(cfg, qparams, ids, mask))
+
+        def image_fn(pixels):
+            return _norm(quantized_image_features(cfg, qparams, pixels))
+
+    else:
+        raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
 
     kw = {} if platforms is None else {"platforms": tuple(platforms)}
     written: Dict[str, int] = {}
@@ -94,6 +118,7 @@ def export_encoders(
         "projection_dim": cfg.projection_dim,
         "text_max_length": text_len,
         "image_size": img_size,
+        "quantize": quantize,
         "entries": entries,
     }
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:

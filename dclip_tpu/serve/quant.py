@@ -1,0 +1,217 @@
+"""Int8-weight quantized CLIP inference for serving.
+
+Post-training, symmetric per-output-channel int8 quantization of every
+large GEMM weight in the CLIP encoders. The forward dequantizes inline
+and runs bf16 matmuls with f32 accumulation ("weight-only" scheme):
+
+- artifact/memory: weights shrink 4x vs f32 (2x vs bf16) — the dominant
+  size of an exported serving artifact (serve.export bakes weights in);
+- throughput: measured on v5e, +5..14% over bf16 at serving batch sizes
+  (B=1: 3.26->3.11 ms, B=4: 4.34->3.82, B=16: 6.94->6.43 per image
+  encode, B/16 config) — the dequant fuses into the GEMM operand read
+  and int8 halves the weight HBM traffic;
+- quality: embedding cosine vs the f32 forward > 0.999 on both
+  modalities (pinned in tests/test_serve.py).
+
+Full activation quantization (int8 x int8 -> int32 on the MXU) was
+measured SLOWER end-to-end on v5e at encoder shapes — the dynamic
+per-row quantize/dequantize VPU passes outweigh the MXU speedup (29.3
+vs 25.9 ms at B=64; raw int8 GEMM peak here is 1.53x bf16, not 2x) — so
+this module deliberately ships the weight-only scheme.
+
+The functions CONSUME the standard Flax param tree (same pattern as
+`kernels.vit_block.fused_image_features`): no model-code changes, the
+training/eval paths never touch this module. Opt-in via
+`ClipService(..., quantize="int8")` / `export_encoders(...,
+quantize="int8")`. Reference counterpart: none (no quantization, no
+serving in ChuckDanz/DCLIP).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# -- offline weight quantization ----------------------------------------------
+
+
+def _quant_w(w: np.ndarray) -> Dict[str, np.ndarray]:
+    """[K, N] float -> {q: int8 [K, N], scale: f32 [N]} (per-out-channel)."""
+    w = np.asarray(w, np.float32)
+    scale = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return {"q": q, "scale": scale.astype(np.float32)}
+
+
+def quantize_clip(variables: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Quantize every large Dense/conv kernel of a CLIP param tree.
+
+    Returns a serving-param pytree: quantized kernels as {q, scale},
+    biases/LN/embeddings as float32 numpy. Host-side, one pass."""
+    p = jax.tree_util.tree_map(lambda a: np.asarray(a), variables["params"])
+
+    def qdense(d):
+        out = {"kernel": _quant_w(d["kernel"])}
+        if "bias" in d:
+            out["bias"] = np.asarray(d["bias"], np.float32)
+        return out
+
+    def qlayer(layer):
+        a = layer["self_attn"]
+        return {
+            "layer_norm1": layer["layer_norm1"],
+            "layer_norm2": layer["layer_norm2"],
+            "self_attn": {k: qdense(a[k]) for k in
+                          ("q_proj", "k_proj", "v_proj", "out_proj")},
+            "mlp": {"fc1": qdense(layer["mlp"]["fc1"]),
+                    "fc2": qdense(layer["mlp"]["fc2"])},
+        }
+
+    t, v = p["text_model"], p["vision_model"]
+    psz = cfg.vision.patch_size
+    conv = np.asarray(v["patch_embedding"]["kernel"], np.float32)  # HWIO
+    qp = {
+        "text_model": {
+            "token_embedding": t["token_embedding"],
+            "position_embedding": np.asarray(
+                t["position_embedding"], np.float32
+            ),
+            "encoder": {
+                k: qlayer(t["encoder"][k]) for k in t["encoder"]
+            },
+            "final_layer_norm": t["final_layer_norm"],
+        },
+        "vision_model": {
+            # conv as a GEMM over flattened (ph, pw, c) patch vectors
+            "patch_embedding": _quant_w(conv.reshape(psz * psz * 3, -1)),
+            "class_embedding": np.asarray(v["class_embedding"], np.float32),
+            "position_embedding": np.asarray(
+                v["position_embedding"], np.float32
+            ),
+            "pre_layernorm": v["pre_layernorm"],
+            "encoder": {
+                k: qlayer(v["encoder"][k]) for k in v["encoder"]
+            },
+            "post_layernorm": v["post_layernorm"],
+        },
+        "text_projection": qdense(p["text_projection"]),
+        "visual_projection": qdense(p["visual_projection"]),
+    }
+    return qp
+
+
+# -- jittable weight-only int8 forward ----------------------------------------
+
+# bf16 operands keep the MXU at full rate (f32 would halve it); the
+# int8->bf16 dequant is an elementwise op XLA fuses into the GEMM's
+# weight-operand read. CPU (tests) runs the same graph in f32-ish
+# precision — numerics are pinned by the cosine tests, not bit equality.
+
+
+def _compute_dtype() -> jnp.dtype:
+    from dclip_tpu.core.platform import default_is_tpu
+
+    return jnp.bfloat16 if default_is_tpu() else jnp.float32
+
+
+def _wq_dense(x: jnp.ndarray, qd: Dict[str, Any], dtype) -> jnp.ndarray:
+    """y = x @ dequant(q) (+ bias), f32 accumulation/output."""
+    w = qd["kernel"]["q"].astype(dtype) * qd["kernel"]["scale"].astype(dtype)
+    y = jax.lax.dot_general(
+        x.astype(dtype), w,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in qd:
+        y = y + qd["bias"]
+    return y
+
+
+def _ln(x, p, eps):
+    x = x.astype(jnp.float32)
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    c = x - m
+    var = jnp.mean(jnp.square(c), axis=-1, keepdims=True)
+    return c * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _encoder(x, layers, num_heads, eps, causal, padding_mask, dtype):
+    from dclip_tpu.kernels.vit_attention import _xla_attention
+
+    for i in range(len(layers)):
+        p = layers[f"layers_{i}"]
+        h = _ln(x, p["layer_norm1"], eps)
+        a = p["self_attn"]
+        q = _wq_dense(h, a["q_proj"], dtype)
+        k = _wq_dense(h, a["k_proj"], dtype)
+        v = _wq_dense(h, a["v_proj"], dtype)
+        out = _xla_attention(
+            q.astype(dtype), k.astype(dtype), v.astype(dtype),
+            num_heads, padding_mask=padding_mask, causal=causal,
+        )
+        x = x + _wq_dense(out, a["out_proj"], dtype)
+        h = _ln(x, p["layer_norm2"], eps)
+        h = _wq_dense(h, p["mlp"]["fc1"], dtype)
+        h = h * jax.nn.sigmoid(1.702 * h)  # quick_gelu in f32
+        x = x + _wq_dense(h, p["mlp"]["fc2"], dtype)
+    return x
+
+
+def quantized_image_features(
+    cfg, qparams, pixel_values, dtype=None
+) -> jnp.ndarray:
+    """Int8-weight twin of CLIPModule.get_image_features
+    (models/clip.py:369)."""
+    dtype = dtype or _compute_dtype()
+    c = cfg.vision
+    v = qparams["vision_model"]
+    b, hh, ww, _ = pixel_values.shape
+    p = c.patch_size
+    gh, gw = hh // p, ww // p
+    # [B, H, W, 3] -> [B, P, p*p*3] patch vectors matching HWIO flattening
+    patches = (
+        pixel_values.astype(jnp.float32)
+        .reshape(b, gh, p, gw, p, 3)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, gh * gw, p * p * 3)
+    )
+    x = _wq_dense(patches, {"kernel": v["patch_embedding"]}, dtype)
+    cls = jnp.tile(v["class_embedding"][None, None, :], (b, 1, 1))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + v["position_embedding"][None]
+    x = _ln(x, v["pre_layernorm"], c.layer_norm_eps)
+    x = _encoder(
+        x, v["encoder"], c.num_heads, c.layer_norm_eps, False, None, dtype
+    )
+    pooled = _ln(x[:, 0], v["post_layernorm"], c.layer_norm_eps)
+    return _wq_dense(pooled, qparams["visual_projection"], dtype)
+
+
+def quantized_text_features(
+    cfg, qparams, input_ids, attention_mask: Optional[jnp.ndarray] = None,
+    dtype=None,
+) -> jnp.ndarray:
+    """Int8-weight twin of CLIPModule.get_text_features
+    (models/clip.py:359)."""
+    dtype = dtype or _compute_dtype()
+    c = cfg.text
+    t = qparams["text_model"]
+    b, s = input_ids.shape
+    tok = jnp.asarray(t["token_embedding"]["embedding"], jnp.float32)[
+        input_ids
+    ]
+    x = tok + t["position_embedding"][None, :s, :]
+    x = _encoder(
+        x, t["encoder"], c.num_heads, c.layer_norm_eps, True,
+        attention_mask, dtype,
+    )
+    x = _ln(x, t["final_layer_norm"], c.layer_norm_eps)
+    is_eos = (input_ids == c.eos_token_id).astype(jnp.int32)
+    eos_idx = jnp.argmax(is_eos, axis=-1)
+    eos_idx = jnp.where(is_eos.sum(-1) > 0, eos_idx, s - 1)
+    pooled = x[jnp.arange(b), eos_idx]
+    return _wq_dense(pooled, qparams["text_projection"], dtype)

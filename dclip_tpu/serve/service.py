@@ -50,6 +50,7 @@ class ClipService:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         normalize: bool = True,
         index_dim: Optional[int] = None,
+        quantize: Optional[str] = None,
     ):
         self.model = model
         self.variables = variables
@@ -57,21 +58,46 @@ class ClipService:
         self.tokenizer = tokenizer
         self.buckets = tuple(sorted(buckets))
         self.normalize = normalize
+        self.quantize = quantize
         self._lock = threading.Lock()  # jit cache + index mutations
         self._n_texts = 0
         self._n_images = 0
 
-        def _text_fn(variables, ids, mask):
-            emb = model.apply(
-                variables, ids, mask, method=model.get_text_features
-            )
-            return self._maybe_normalize(emb)
+        if quantize is None:
+            def _text_fn(variables, ids, mask):
+                emb = model.apply(
+                    variables, ids, mask, method=model.get_text_features
+                )
+                return self._maybe_normalize(emb)
 
-        def _image_fn(variables, pixels):
-            emb = model.apply(
-                variables, pixels, method=model.get_image_features
+            def _image_fn(variables, pixels):
+                emb = model.apply(
+                    variables, pixels, method=model.get_image_features
+                )
+                return self._maybe_normalize(emb)
+
+        elif quantize == "int8":
+            from dclip_tpu.serve.quant import (
+                quantize_clip,
+                quantized_image_features,
+                quantized_text_features,
             )
-            return self._maybe_normalize(emb)
+
+            # int8 weights replace the float params for serving
+            self.variables = variables = quantize_clip(variables, cfg)
+
+            def _text_fn(qparams, ids, mask):
+                emb = quantized_text_features(cfg, qparams, ids, mask)
+                return self._maybe_normalize(emb)
+
+            def _image_fn(qparams, pixels):
+                emb = quantized_image_features(cfg, qparams, pixels)
+                return self._maybe_normalize(emb)
+
+        else:
+            raise ValueError(
+                f"quantize must be None or 'int8', got {quantize!r}"
+            )
 
         self._text_jit = jax.jit(_text_fn)
         self._image_jit = jax.jit(_image_fn)
@@ -221,6 +247,7 @@ class ClipService:
             "buckets": list(self.buckets),
             "index_size": self.index_size,
             "projection_dim": self.cfg.projection_dim,
+            "quantize": self.quantize,
         }
 
 

@@ -279,3 +279,87 @@ def test_http_endpoint_roundtrip(tiny_service):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+# -- int8 weight-only quantization (serve.quant) -----------------------------
+
+
+def test_quantized_forward_cosine_parity(tiny_service):
+    """Weight-only int8 embeddings stay directionally faithful to the f32
+    forward (cos > 0.99 both modalities) — the quality contract the
+    serving docs claim."""
+    from dclip_tpu.serve.quant import (
+        quantize_clip,
+        quantized_image_features,
+        quantized_text_features,
+    )
+
+    cfg, model, variables, tok, _ = tiny_service
+    qp = quantize_clip(variables, cfg)
+    rng = np.random.RandomState(0)
+
+    px = jnp.asarray(rng.randn(
+        4, cfg.vision.image_size, cfg.vision.image_size, 3
+    ).astype(np.float32))
+    want = np.asarray(model.apply(variables, px,
+                                  method=model.get_image_features))
+    got = np.asarray(quantized_image_features(cfg, qp, px))
+    cos = (want * got).sum(-1) / (
+        np.linalg.norm(want, axis=-1) * np.linalg.norm(got, axis=-1)
+    )
+    assert cos.min() > 0.99, cos
+
+    ids = rng.randint(1, cfg.text.vocab_size - 2,
+                      (4, cfg.text.max_length)).astype(np.int32)
+    ids[:, -1] = cfg.text.eos_token_id
+    mask = np.ones_like(ids)
+    want_t = np.asarray(model.apply(
+        variables, jnp.asarray(ids), jnp.asarray(mask),
+        method=model.get_text_features,
+    ))
+    got_t = np.asarray(quantized_text_features(
+        cfg, qp, jnp.asarray(ids), jnp.asarray(mask)
+    ))
+    cos_t = (want_t * got_t).sum(-1) / (
+        np.linalg.norm(want_t, axis=-1) * np.linalg.norm(got_t, axis=-1)
+    )
+    assert cos_t.min() > 0.99, cos_t
+
+
+def test_quantized_service_end_to_end(tiny_service):
+    cfg, model, variables, tok, _ = tiny_service
+    qsvc = ClipService(
+        model, variables, cfg, tokenizer=tok, buckets=(1, 4),
+        index_dim=cfg.projection_dim, quantize="int8",
+    )
+    texts = ["a dog", "a cat", "an airplane"]
+    embs = qsvc.encode_texts(texts)
+    assert embs.shape == (3, cfg.projection_dim)
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=-1), 1.0, atol=1e-5)
+    qsvc.add_to_index(["dog", "cat", "plane"], embs)
+    hits = qsvc.search_texts(["a cat"], k=1)
+    assert hits[0][0][0] == "cat"
+    assert qsvc.stats()["quantize"] == "int8"
+    with pytest.raises(ValueError, match="quantize"):
+        ClipService(model, variables, cfg, quantize="fp4")
+
+
+def test_quantized_export_smaller_and_faithful(tiny_service, tmp_path):
+    cfg, model, variables, tok, service = tiny_service
+    fdir, qdir = str(tmp_path / "f32"), str(tmp_path / "int8")
+    w_f = export_encoders(model, variables, cfg, fdir,
+                          batch_sizes=(4,), platforms=("cpu",))
+    w_q = export_encoders(model, variables, cfg, qdir,
+                          batch_sizes=(4,), platforms=("cpu",),
+                          quantize="int8")
+    # int8 weights shrink the dominant (image-encoder) artifact
+    assert w_q["image_b4.stablehlo"] < 0.55 * w_f["image_b4.stablehlo"]
+
+    loaded = load_exported(qdir)
+    assert loaded.manifest["quantize"] == "int8"
+    texts = ["a dog", "two cats"]
+    ids, mask = tok.encode_batch(texts, max_length=cfg.text.max_length)
+    got = loaded.encode_texts_ids(ids, mask)
+    want = service.encode_texts(texts)  # float service, normalized
+    cos = (got * want).sum(-1)
+    assert cos.min() > 0.99, cos
