@@ -70,11 +70,32 @@ class ClipService:
                 )
                 return self._maybe_normalize(emb)
 
-            def _image_fn(variables, pixels):
-                emb = model.apply(
-                    variables, pixels, method=model.get_image_features
-                )
-                return self._maybe_normalize(emb)
+            # Same auto-selection as models.encoding.make_image_encoder:
+            # the fully fused encoder-block kernels win ~22% on the
+            # cropless serving forward (21.3 vs 25.9 ms at B=64, B/16).
+            fused = False
+            if getattr(model, "dtype", None) == jnp.bfloat16:
+                from dclip_tpu.core.platform import default_is_tpu
+
+                if default_is_tpu():
+                    from dclip_tpu.kernels import pallas_available
+
+                    fused = pallas_available()
+            if fused:
+                from dclip_tpu.kernels.vit_block import fused_image_features
+
+                def _image_fn(variables, pixels):
+                    emb = fused_image_features(
+                        cfg, variables, pixels, dtype=model.dtype
+                    )
+                    return self._maybe_normalize(emb)
+
+            else:
+                def _image_fn(variables, pixels):
+                    emb = model.apply(
+                        variables, pixels, method=model.get_image_features
+                    )
+                    return self._maybe_normalize(emb)
 
         elif quantize == "int8":
             from dclip_tpu.serve.quant import (

@@ -363,3 +363,41 @@ def test_quantized_export_smaller_and_faithful(tiny_service, tmp_path):
     want = service.encode_texts(texts)  # float service, normalized
     cos = (got * want).sum(-1)
     assert cos.min() > 0.99, cos
+
+
+# -- checkpoint -> serving flow ----------------------------------------------
+
+
+def test_build_service_from_student_checkpoint(tiny_service, tmp_path):
+    """cli.serve --student_checkpoint: a distilled-student params file
+    changes the served embeddings (the deployment handoff path)."""
+    import argparse
+
+    import flax.serialization
+
+    from dclip_tpu.cli.serve import build_service
+
+    cfg, model, variables, tok, _ = tiny_service
+    # a "distilled" student: perturb the text projection
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    params["text_projection"]["kernel"] = (
+        params["text_projection"]["kernel"] + 0.5
+    )
+    ckpt = tmp_path / "student.msgpack"
+    ckpt.write_bytes(flax.serialization.msgpack_serialize(
+        {"params": params}  # TrainState-file shape (restore handles both)
+    ))
+
+    args = argparse.Namespace(
+        model_preset="tiny", clip_weights="random", tokenizer_dir="hash",
+        seed=0, student_checkpoint=str(ckpt), buckets="1,4",
+        index_dim=0, quantize="",
+    )
+    svc = build_service(args)
+    base = ClipService(model, variables, cfg, tokenizer=svc.tokenizer,
+                       buckets=(1, 4))
+    texts = ["a dog in the park"]
+    served = svc.encode_texts(texts)
+    original = base.encode_texts(texts)
+    assert served.shape == original.shape
+    assert not np.allclose(served, original)  # checkpoint actually applied
