@@ -12,6 +12,10 @@ from dclip_tpu.kernels.vit_attention import (
     self_attention_fused,
     self_attention_trainable,
 )
+from dclip_tpu.kernels.mlp_trainable import (
+    mlp_block_trainable,
+    mlp_trainable_fit,
+)
 from dclip_tpu.kernels.vit_block import (
     attention_block_fused,
     encoder_forward_fused,
@@ -150,6 +154,8 @@ __all__ = [
     "encoder_forward_fused",
     "fused_image_features",
     "mlp_block_fused",
+    "mlp_block_trainable",
+    "mlp_trainable_fit",
     "pallas_available",
     "self_attention_bwd_fused",
     "self_attention_fused",

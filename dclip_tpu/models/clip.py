@@ -155,6 +155,10 @@ class EncoderLayer(nn.Module):
     # are excluded from the optimizer: the kernel's VJP returns zero
     # weight cotangents by construction. Param tree is unchanged.
     fused_frozen_mlp: bool = False
+    # Route LN2+MLP through the TRAINABLE fused kernel trio
+    # (kernels/mlp_trainable.py): real cotangents for all six weights,
+    # valid under any optimizer mask. Param tree is unchanged.
+    fused_trainable_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, padding_mask=None):
@@ -163,12 +167,19 @@ class EncoderLayer(nn.Module):
             self.hidden, self.heads, self.dtype, self.fused, self.interpret,
             self.causal, name="self_attn",
         )(h, padding_mask)
-        if self.fused_frozen_mlp:
-            from dclip_tpu.kernels.mlp_frozen import mlp_block_frozen
+        if self.fused_frozen_mlp or self.fused_trainable_mlp:
+            if self.fused_trainable_mlp:
+                from dclip_tpu.kernels.mlp_trainable import (
+                    mlp_block_trainable as mlp_block,
+                )
+            else:
+                from dclip_tpu.kernels.mlp_frozen import (
+                    mlp_block_frozen as mlp_block,
+                )
 
             ln_s, ln_b = _LNParams(self.hidden, name="layer_norm2")()
             w1, b1, w2, b2 = _MLPParams(self.hidden, self.mlp_dim, name="mlp")()
-            return mlp_block_frozen(
+            return mlp_block(
                 x, ln_s, ln_b, w1, b1, w2, b2,
                 eps=self.eps, interpret=self.interpret,
             )
@@ -189,6 +200,7 @@ class Encoder(nn.Module):
     interpret: bool = False
     causal: bool = False
     fused_frozen_mlp: bool = False
+    fused_trainable_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, padding_mask=None):
@@ -206,6 +218,7 @@ class Encoder(nn.Module):
                 self.interpret,
                 self.causal,
                 self.fused_frozen_mlp,
+                self.fused_trainable_mlp,
                 name=f"layers_{i}",
             )(x, padding_mask)
         return x
@@ -217,6 +230,10 @@ class CLIPTextEncoder(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     pallas_interpret: bool = False
+    # Fused TRAINABLE MLP blocks (kernels/mlp_trainable.py): the text
+    # stack is trainable under the default distillation mask, so it needs
+    # the real-weight-cotangent kernel, not the frozen one.
+    fused_trainable_mlp: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask: Optional[jnp.ndarray] = None):
@@ -246,6 +263,7 @@ class CLIPTextEncoder(nn.Module):
             self.fused_attention,
             self.pallas_interpret,
             causal=True,
+            fused_trainable_mlp=self.fused_trainable_mlp,
             name="encoder",
         )(x, attention_mask)
         x = nn.LayerNorm(
@@ -334,11 +352,15 @@ class CLIPModule(nn.Module):
     # stack is trainable by default — its MLP weights need real grads).
     # See kernels/mlp_frozen.py for the zero-weight-cotangent contract.
     fused_frozen_mlp: bool = False
+    # Fused TRAINABLE MLP blocks in the TEXT encoder (real weight
+    # cotangents; kernels/mlp_trainable.py) — valid under any mask.
+    fused_trainable_text_mlp: bool = False
 
     def setup(self):
         self.text_model = CLIPTextEncoder(
             self.cfg.text, self.dtype, self.remat,
             self.fused_attention, self.pallas_interpret,
+            fused_trainable_mlp=self.fused_trainable_text_mlp,
         )
         self.vision_model = CLIPVisionEncoder(
             self.cfg.vision, self.dtype, self.remat,

@@ -308,16 +308,25 @@ class DistillTrainer(BaseTrainer):
         the vision LN2+MLP weights frozen and the kernel pair fits VMEM
         (ViT-L/14 overflows and stays on XLA)."""
         fused_frozen = False
+        fused_text = False
         if self.cfg.use_pallas:
             from dclip_tpu.kernels.mlp_frozen import mlp_frozen_fit
+            from dclip_tpu.kernels.mlp_trainable import mlp_trainable_fit
 
+            itemsize = jnp.dtype(self._student_dtype).itemsize
             v = self.student_config.vision
             fused_frozen = mlp_frozen_fit(
                 v.num_patches + 1,
                 v.hidden_size,
                 v.mlp_dim,
-                jnp.dtype(self._student_dtype).itemsize,
+                itemsize,
             ) and self._vision_mlp_frozen(params)
+            # The text stack is trainable (real weight grads needed), so
+            # it takes the trainable fused kernel trio when it fits VMEM.
+            t = self.student_config.text
+            fused_text = mlp_trainable_fit(
+                t.max_length, t.hidden_size, t.mlp_dim, itemsize
+            )
         return CLIPModule(
             self.student_config,
             dtype=self._student_dtype,
@@ -325,6 +334,7 @@ class DistillTrainer(BaseTrainer):
             fused_attention=self.cfg.use_pallas,
             pallas_interpret=self._pallas_interpret,
             fused_frozen_mlp=fused_frozen,
+            fused_trainable_text_mlp=fused_text,
         )
 
     def _teacher_fingerprint(self) -> str:

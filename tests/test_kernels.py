@@ -441,3 +441,102 @@ def test_clip_fused_frozen_mlp_module_parity():
     assert float(jnp.abs(l0["mlp"]["fc1"]["kernel"]).max()) == 0.0
     assert float(jnp.abs(l0["layer_norm2"]["scale"]).max()) == 0.0
     assert float(jnp.abs(l0["self_attn"]["q_proj"]["kernel"]).max()) > 0.0
+
+
+# -- trainable fused MLP block (kernels/mlp_trainable.py) ---------------------
+
+
+def test_mlp_trainable_forward_parity(frozen_mlp_args):
+    from dclip_tpu.kernels.mlp_frozen import mlp_frozen_xla
+    from dclip_tpu.kernels.mlp_trainable import mlp_block_trainable
+
+    want = mlp_frozen_xla(*frozen_mlp_args)
+    got = mlp_block_trainable(*frozen_mlp_args, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_mlp_trainable_grad_parity(frozen_mlp_args):
+    """ALL seven cotangents (x + six weights) match jax.grad of the XLA
+    twin — the real-weight-gradient contract the text stack relies on."""
+    from dclip_tpu.kernels.mlp_frozen import mlp_frozen_xla
+    from dclip_tpu.kernels.mlp_trainable import mlp_block_trainable
+
+    co = jnp.asarray(
+        np.random.RandomState(9).randn(*frozen_mlp_args[0].shape).astype(np.float32)
+    )
+    gk = jax.grad(
+        lambda *a: jnp.sum(mlp_block_trainable(*a, interpret=True) * co),
+        argnums=tuple(range(7)),
+    )(*frozen_mlp_args)
+    gx = jax.grad(
+        lambda *a: jnp.sum(mlp_frozen_xla(*a) * co), argnums=tuple(range(7))
+    )(*frozen_mlp_args)
+    names = ("x", "ln_scale", "ln_bias", "w1", "b1", "w2", "b2")
+    for name, k, x in zip(names, gk, gx):
+        np.testing.assert_allclose(
+            np.asarray(k), np.asarray(x), rtol=1e-4, atol=2e-4, err_msg=name
+        )
+
+
+def test_mlp_trainable_fit_budget():
+    """CLIP text shapes (512/2048) fit; B/16 vision (768/3072) does not."""
+    from dclip_tpu.core.config import CLIPConfig
+    from dclip_tpu.kernels.mlp_trainable import mlp_trainable_fit
+
+    txt = CLIPConfig.vit_b_16().text
+    assert mlp_trainable_fit(txt.max_length, txt.hidden_size, txt.mlp_dim, 2)
+    b16 = CLIPConfig.vit_b_16().vision
+    assert not mlp_trainable_fit(
+        b16.num_patches + 1, b16.hidden_size, b16.mlp_dim, 2
+    )
+
+
+def test_clip_fused_trainable_text_mlp_module_parity():
+    """CLIPModule(fused_trainable_text_mlp=True): identical param tree,
+    text-feature parity, and REAL grads on text LN2/MLP weights that match
+    the unfused module's."""
+    from dclip_tpu.core.config import CLIPConfig
+    from dclip_tpu.models.clip import CLIPModule
+
+    cfg = CLIPConfig.tiny_test()
+    base = CLIPModule(cfg)
+    fused = CLIPModule(cfg, fused_trainable_text_mlp=True, pallas_interpret=True)
+    rng = np.random.RandomState(4)
+    ids = jnp.asarray(rng.randint(1, cfg.text.vocab_size, (2, cfg.text.max_length)))
+    mask = jnp.ones_like(ids)
+    px = jnp.asarray(
+        rng.randn(2, cfg.vision.image_size, cfg.vision.image_size, 3)
+        .astype(np.float32)
+    )
+    v = base.init(jax.random.PRNGKey(0), ids, px)
+    vf = fused.init(jax.random.PRNGKey(0), ids, px)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vf)
+
+    want = base.apply(v, ids, mask, method=base.get_text_features)
+    got = fused.apply(v, ids, mask, method=fused.get_text_features)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+    def loss(params, m):
+        out = m.apply(
+            {"params": params}, ids, mask, method=m.get_text_features
+        )
+        return jnp.sum(out * out)
+
+    gb = jax.grad(loss)(v["params"], base)
+    gf = jax.grad(loss)(vf["params"], fused)
+    l0b = gb["text_model"]["encoder"]["layers_0"]
+    l0f = gf["text_model"]["encoder"]["layers_0"]
+    for path in (("mlp", "fc1", "kernel"), ("mlp", "fc2", "bias"),
+                 ("layer_norm2", "scale"), ("layer_norm2", "bias")):
+        wb, wf = l0b, l0f
+        for k in path:
+            wb, wf = wb[k], wf[k]
+        assert float(jnp.abs(wf).max()) > 0.0, path
+        np.testing.assert_allclose(
+            np.asarray(wf), np.asarray(wb), rtol=2e-3, atol=2e-4,
+            err_msg="/".join(path),
+        )
