@@ -46,8 +46,40 @@ def mesh_config(args) -> MeshConfig:
     )
 
 
+def host_random_variables(model, init_fn, seed: int = 0) -> Dict[str, Any]:
+    """Random variables built host-side from eval_shape + numpy.
+
+    Eager flax ``model.init`` issues hundreds of tiny ops — each a
+    ~0.35s compile round-trip through a tunneled TPU client (measured:
+    ~96s for ViT-B/16) and minutes of real jax CPU init on a small host.
+    For smoke tests / serving benches the value distribution only needs
+    to be sane, so build numpy arrays from the shape tree and transfer
+    once: layernorm-style scales -> 1, biases -> 0, kernels -> N(0, 0.02).
+    """
+    import numpy as np
+
+    shapes = jax.eval_shape(init_fn)
+    host_rng = np.random.RandomState(seed)
+
+    def _fill(path, s):
+        name = str(path[-1].key) if path else ""
+        if not np.issubdtype(s.dtype, np.floating):
+            return np.zeros(s.shape, s.dtype)
+        if name == "scale":
+            return np.ones(s.shape, s.dtype)
+        if name == "bias":
+            return np.zeros(s.shape, s.dtype)
+        return np.asarray(
+            host_rng.standard_normal(s.shape) * 0.02, dtype=s.dtype
+        )
+
+    variables = jax.tree_util.tree_map_with_path(_fill, shapes)
+    return jax.device_put(variables, jax.devices()[0])
+
+
 def load_clip(
-    preset: str, weights: str, seed: int = 0, compute_dtype: str = "float32"
+    preset: str, weights: str, seed: int = 0, compute_dtype: str = "float32",
+    fast_init: bool = False,
 ) -> Tuple[CLIPConfig, CLIPModule, Dict[str, Any]]:
     """Build a CLIPModule + variables from a preset and a weights source.
 
@@ -67,11 +99,17 @@ def load_clip(
         compute_dtype = "bfloat16" if default_is_tpu() else "float32"
     model = CLIPModule(cfg, dtype=jnp.dtype(compute_dtype))
     if weights == "random":
-        variables = model.init(
-            jax.random.PRNGKey(seed),
-            jnp.zeros((1, cfg.text.max_length), jnp.int32),
-            jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
-        )
+        def _init():
+            return model.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, cfg.text.max_length), jnp.int32),
+                jnp.zeros(
+                    (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+                ),
+            )
+
+        variables = host_random_variables(model, _init, seed) if fast_init \
+            else _init()
     else:
         from dclip_tpu.models.hf_import import load_pretrained
 

@@ -33,7 +33,7 @@ def build_service(args):
 
     cfg, model, variables = load_clip(
         args.model_preset, args.clip_weights, seed=args.seed,
-        compute_dtype="auto",
+        compute_dtype="auto", fast_init=True,
     )
     if args.student_checkpoint:
         params = restore_student_params(
@@ -215,6 +215,77 @@ def _selftest(service, args) -> int:
     return 0 if ok else 1
 
 
+def _bench(service, args) -> int:
+    """Concurrent-load measurement of the serving path.
+
+    K client threads each fire single-item requests back-to-back through
+    the DynamicBatcher (the HTTP layer is excluded — on this class of
+    host it measures Python's http.server, not the TPU serving stack).
+    Reported per (modality, concurrency): requests/s, p50/p99 latency,
+    mean device batch size the batcher achieved."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from dclip_tpu.serve import DynamicBatcher
+
+    print("warming up:", json.dumps(service.warmup()), flush=True)
+    size = service.cfg.vision.image_size
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 255, (size, size, 3), np.uint8)
+    text = "a photo of a dog catching a red frisbee in the park"
+    workloads = {
+        "text": (lambda b: b.submit(text),
+                 lambda: DynamicBatcher(
+                     service.encode_texts, max_batch=args.max_batch,
+                     max_wait_s=args.max_wait_ms / 1e3, name="text")),
+        "image": (lambda b: b.submit(image),
+                  lambda: DynamicBatcher(
+                      service.encode_images, max_batch=args.max_batch,
+                      max_wait_s=args.max_wait_ms / 1e3, name="image")),
+    }
+    for modality, (fire, make_batcher) in workloads.items():
+        for conc in (1, 8, 32):
+            per_thread = max(4, 64 // conc)
+            with make_batcher() as b:
+                fire(b)  # one warm pass through this batcher
+                lat: list = []
+                lock = threading.Lock()
+
+                def client():
+                    mine = []
+                    for _ in range(per_thread):
+                        t0 = time.perf_counter()
+                        fire(b)
+                        mine.append(time.perf_counter() - t0)
+                    with lock:
+                        lat.extend(mine)
+
+                threads = [threading.Thread(target=client)
+                           for _ in range(conc)]
+                t0 = time.perf_counter()
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+                wall = time.perf_counter() - t0
+                s = b.stats()
+            lat_ms = sorted(x * 1e3 for x in lat)
+            n = len(lat_ms)
+            print(json.dumps({
+                "modality": modality,
+                "concurrency": conc,
+                "requests": n,
+                "requests_per_sec": round(n / wall, 1),
+                "p50_ms": round(lat_ms[n // 2], 1),
+                "p99_ms": round(lat_ms[min(n - 1, int(n * 0.99))], 1),
+                "mean_batch": round(s["mean_batch_size"], 2),
+                "quantize": service.quantize,
+            }), flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     from dclip_tpu.cli.common import add_model_args
 
@@ -238,11 +309,18 @@ def main(argv=None) -> int:
                    help="start on an ephemeral port, run one request per "
                         "endpoint in-process, print the results, and exit "
                         "0/1 (deployment smoke check)")
+    p.add_argument("--bench", action="store_true",
+                   help="measure the serving path (batcher -> bucketed "
+                        "encoder) under concurrent load and exit: one JSON "
+                        "line per (modality, concurrency) with throughput "
+                        "and latency percentiles")
     args = p.parse_args(argv)
 
     service = build_service(args)
     if args.selftest:
         return _selftest(service, args)
+    if args.bench:
+        return _bench(service, args)
     if not args.no_warmup:
         print("warming up:", json.dumps(service.warmup()), flush=True)
     handler = make_handler(service, args.max_batch, args.max_wait_ms / 1e3)

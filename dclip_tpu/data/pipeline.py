@@ -71,11 +71,13 @@ def content_key_for(image_path: str) -> np.int64:
     return np.int64(int.from_bytes(digest, "little", signed=True))
 
 
-def preprocess_image(
-    image, size: int = 224
-) -> np.ndarray:
-    """HF CLIPProcessor-parity preprocessing: bicubic shortest-side resize,
-    center crop, rescale 1/255, CLIP mean/std normalize. NHWC float32."""
+def resize_crop_uint8(image, size: int = 224) -> np.ndarray:
+    """HF CLIPProcessor resize/crop geometry WITHOUT normalization:
+    bicubic shortest-side resize + center crop, uint8 [size, size, 3].
+
+    The serving path ships this raw uint8 to the device and applies
+    rescale 1/255 + CLIP mean/std there (ops.image_ops.normalize) —
+    4x fewer host->device bytes than a float32 transfer."""
     from PIL import Image
 
     w, h = image.size
@@ -89,7 +91,15 @@ def preprocess_image(
     left = (nw - size) // 2
     top = (nh - size) // 2
     image = image.crop((left, top, left + size, top + size))
-    arr = np.asarray(image, np.float32) / 255.0
+    return np.asarray(image, np.uint8)
+
+
+def preprocess_image(
+    image, size: int = 224
+) -> np.ndarray:
+    """HF CLIPProcessor-parity preprocessing: bicubic shortest-side resize,
+    center crop, rescale 1/255, CLIP mean/std normalize. NHWC float32."""
+    arr = resize_crop_uint8(image, size).astype(np.float32) / 255.0
     return (arr - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(CLIP_STD, np.float32)
 
 

@@ -378,10 +378,17 @@ def test_build_service_from_student_checkpoint(tiny_service, tmp_path):
     from dclip_tpu.cli.serve import build_service
 
     cfg, model, variables, tok, _ = tiny_service
-    # a "distilled" student: perturb the text projection
+    # a "distilled" student: perturb the text projection. NOTE: a uniform
+    # additive shift would be invisible — the pooled vector feeding this
+    # kernel comes out of final_layer_norm with scale=1/bias=0 here, so
+    # its feature-sum is exactly 0 and `kernel + c` cancels; a uniform
+    # SCALE would be removed by the L2 normalize. Random noise survives.
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
     params["text_projection"]["kernel"] = (
-        params["text_projection"]["kernel"] + 0.5
+        params["text_projection"]["kernel"]
+        + np.random.RandomState(5).randn(
+            *params["text_projection"]["kernel"].shape
+        ).astype(np.float32)
     )
     ckpt = tmp_path / "student.msgpack"
     ckpt.write_bytes(flax.serialization.msgpack_serialize(
