@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                    action=argparse.BooleanOptionalAction, default=None,
                    help="teacher region-encode runs only over valid patch "
                         "slots (bucketed crop compaction)")
+    p.add_argument("--fused_text_mlp", action="store_true",
+                   help="opt-in trainable fused MLP kernels for the text "
+                        "stack (measured slower than XLA on v5e at CLIP "
+                        "text shapes; see kernels/mlp_trainable.py)")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint encoder layers (memory for FLOPs)")
     p.add_argument("--unfreeze_text_at_epoch", type=int, default=None,
@@ -171,6 +175,7 @@ def main(argv=None) -> int:
         use_pallas=args.use_pallas,
         remat=args.remat,
         compact_patches=args.compact_patches,
+        fused_text_mlp=args.fused_text_mlp,
         unfreeze_text_at_epoch=args.unfreeze_text_at_epoch,
     )
 

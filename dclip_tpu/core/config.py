@@ -288,6 +288,12 @@ class DistillConfig:
     # detections average well below max_patches. None = auto: on for
     # single-data-shard TPU meshes.
     compact_patches: Optional[bool] = None
+    # Route the student TEXT stack's MLP blocks through the trainable
+    # fused kernel trio (kernels/mlp_trainable.py). Default OFF: measured
+    # slower than XLA on v5e for CLIP text shapes (S=77 rows under-fill
+    # the MXU per program; the HBM traffic saved is negligible at
+    # mlp=2048). The kernel exists for bandwidth-bound trainable MLPs.
+    fused_text_mlp: bool = False
 
 
 @dataclass(frozen=True)

@@ -321,10 +321,14 @@ class DistillTrainer(BaseTrainer):
                 v.mlp_dim,
                 itemsize,
             ) and self._vision_mlp_frozen(params)
-            # The text stack is trainable (real weight grads needed), so
-            # it takes the trainable fused kernel trio when it fits VMEM.
+            # The trainable fused kernel trio (kernels/mlp_trainable.py)
+            # is MEASURED SLOWER than XLA for the text stack on v5e
+            # (cache-warm 1010 -> 965 img/s): at S=77 the per-row kernel
+            # GEMMs under-fill the MXU while XLA batches one [B*S, D]
+            # GEMM, and the [B, S, 2048] HBM traffic it saves is ~0.2 ms
+            # — text is compute-tiny, not bandwidth-bound. Opt-in only.
             t = self.student_config.text
-            fused_text = mlp_trainable_fit(
+            fused_text = self.cfg.fused_text_mlp and mlp_trainable_fit(
                 t.max_length, t.hidden_size, t.mlp_dim, itemsize
             )
         return CLIPModule(

@@ -790,3 +790,38 @@ def test_distill_fused_frozen_mlp_toggle(distill_setup, cpu_mesh):
         mid["vision_model"]["encoder"]["layers_0"]["mlp"]["fc1"]["kernel"],
         after["vision_model"]["encoder"]["layers_0"]["mlp"]["fc1"]["kernel"],
     )
+
+
+def test_distill_fused_text_mlp_opt_in(distill_setup, cpu_mesh):
+    """The trainable fused text-MLP kernels are OFF by default (measured
+    slower than XLA at CLIP text shapes on v5e) and opt-in via
+    cfg.fused_text_mlp; when on, text MLP weights still receive real
+    gradients (the kernel's weight cotangents are live, unlike the
+    frozen vision kernel's)."""
+    import dataclasses
+
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    cfg_on = dataclasses.replace(cfg, use_pallas=True, fused_text_mlp=True)
+    trainer_default = DistillTrainer(
+        dataclasses.replace(cfg, use_pallas=True),
+        clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=cpu_mesh,
+    )
+    assert not trainer_default.student.fused_trainable_text_mlp
+
+    trainer = DistillTrainer(
+        cfg_on, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg,
+        mesh=cpu_mesh,
+    )
+    assert trainer.student.fused_trainable_text_mlp
+    pipe = FakePipeline(clip_cfg, 1)
+    before = np.asarray(jax.device_get(
+        trainer.state.params["text_model"]["encoder"]["layers_0"]["mlp"]
+        ["fc1"]["kernel"]
+    ))
+    m = trainer.train_step_on_batch(pipe.batches[0])
+    assert np.isfinite(float(m["loss"]))
+    after = np.asarray(jax.device_get(
+        trainer.state.params["text_model"]["encoder"]["layers_0"]["mlp"]
+        ["fc1"]["kernel"]
+    ))
+    assert not np.allclose(before, after)
