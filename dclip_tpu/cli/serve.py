@@ -44,10 +44,17 @@ def build_service(args):
         args.tokenizer_dir, max_length=cfg.text.max_length
     )
     buckets = tuple(int(b) for b in args.buckets.split(","))
+    mesh = None
+    if getattr(args, "mesh_data", 1) != 1:
+        from dclip_tpu.core.config import MeshConfig
+        from dclip_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(MeshConfig(data_parallel=args.mesh_data))
     service = ClipService(
         model, variables, cfg, tokenizer=tokenizer, buckets=buckets,
         index_dim=args.index_dim if args.index_dim > 0 else None,
         quantize=args.quantize or None,
+        mesh=mesh,
     )
     return service
 
@@ -302,6 +309,10 @@ def main(argv=None) -> int:
                    help="linger for batching once a request is queued")
     p.add_argument("--index_dim", type=int, default=0,
                    help=">0 enables the retrieval index endpoints")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="serve over a data-parallel device mesh of this "
+                        "size (-1: all devices); encode batches shard "
+                        "over it, index search runs the sharded top-k")
     p.add_argument("--quantize", default="", choices=["", "int8"],
                    help="int8: weight-only quantized serving (serve.quant)")
     p.add_argument("--no_warmup", action="store_true")

@@ -57,16 +57,33 @@ def knn_search(
 
 
 def knn_search_sharded(
-    queries: jnp.ndarray, store_shard: jnp.ndarray, axis: str, k: int = 3
+    queries: jnp.ndarray, store_shard: jnp.ndarray, axis: str, k: int = 3,
+    n_valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k over a store sharded on mesh `axis` (shard_map body).
 
     store_shard: this chip's [N_local, D] rows; indices returned are GLOBAL
-    row ids (shard offset added). Queries are replicated.
+    row ids (shard offset added). Queries are replicated. `n_valid` (scalar,
+    optional) masks pad rows — callers that pad N up to a multiple of the
+    mesh axis pass the true row count and padded rows can never win
+    (their scores become -inf before the local top-k).
     """
     n_local = store_shard.shape[0]
     my = jax.lax.axis_index(axis)
-    local_scores, local_idx = knn_search(queries, store_shard, min(k, n_local))
+    if n_valid is not None:
+        scores = jnp.einsum(
+            "qd,nd->qn",
+            queries.astype(jnp.float32),
+            store_shard.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        gids = my * n_local + jnp.arange(n_local)
+        scores = jnp.where(gids[None, :] < n_valid, scores, -jnp.inf)
+        local_scores, local_idx = jax.lax.top_k(scores, min(k, n_local))
+    else:
+        local_scores, local_idx = knn_search(
+            queries, store_shard, min(k, n_local)
+        )
     local_idx = local_idx + my * n_local
     all_scores = jax.lax.all_gather(local_scores, axis, axis=1, tiled=True)
     all_idx = jax.lax.all_gather(local_idx, axis, axis=1, tiled=True)

@@ -51,7 +51,13 @@ class ClipService:
         normalize: bool = True,
         index_dim: Optional[int] = None,
         quantize: Optional[str] = None,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis. With >1
+        device, encode batches shard over it (params replicated, outputs
+        gathered) and index search runs the two-stage sharded top-k —
+        serving scales over ICI the same way training does. Buckets must
+        then divide evenly by the data-axis size."""
         self.model = model
         self.variables = variables
         self.cfg = cfg
@@ -59,6 +65,16 @@ class ClipService:
         self.buckets = tuple(sorted(buckets))
         self.normalize = normalize
         self.quantize = quantize
+        self.mesh = mesh
+        self._ndev = 1 if mesh is None else int(mesh.devices.size)
+        if self._ndev > 1:
+            bad = [b for b in self.buckets if b % self._ndev]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} do not divide the mesh data size "
+                    f"{self._ndev}; pick multiples so every padded batch "
+                    f"shards evenly"
+                )
         self._lock = threading.Lock()  # jit cache + index mutations
         self._n_texts = 0
         self._n_images = 0
@@ -73,8 +89,11 @@ class ClipService:
             # Same auto-selection as models.encoding.make_image_encoder:
             # the fully fused encoder-block kernels win ~22% on the
             # cropless serving forward (21.3 vs 25.9 ms at B=64, B/16).
+            # Pallas kernels have no GSPMD partitioning rule — on a >1
+            # device mesh the batch-sharded XLA module path runs instead
+            # (same policy as the trainers).
             fused = False
-            if getattr(model, "dtype", None) == jnp.bfloat16:
+            if getattr(model, "dtype", None) == jnp.bfloat16 and self._ndev == 1:
                 from dclip_tpu.core.platform import default_is_tpu
 
                 if default_is_tpu():
@@ -131,11 +150,30 @@ class ClipService:
             px = _clip_norm(pixels_u8.astype(jnp.float32) / 255.0)
             return _image_fn(variables, px)
 
-        self._text_jit = jax.jit(_text_fn)
-        self._image_jit = jax.jit(_image_u8_fn)
-        self._search_jit = jax.jit(
-            lambda q, keys, k: _knn(q, keys, k), static_argnums=(2,)
-        )
+        if self._ndev > 1:
+            from dclip_tpu.parallel.mesh import (
+                batch_sharding,
+                replicated,
+                replicate_tree,
+            )
+
+            self.variables = variables = replicate_tree(variables, mesh)
+            bs, rep = batch_sharding(mesh), replicated(mesh)
+            self._text_jit = jax.jit(
+                _text_fn, in_shardings=(rep, bs, bs), out_shardings=rep
+            )
+            self._image_jit = jax.jit(
+                _image_u8_fn, in_shardings=(rep, bs), out_shardings=rep
+            )
+            self._search_jit = jax.jit(
+                self._make_sharded_knn(mesh), static_argnums=(3,)
+            )
+        else:
+            self._text_jit = jax.jit(_text_fn)
+            self._image_jit = jax.jit(_image_u8_fn)
+            self._search_jit = jax.jit(
+                lambda q, keys, k: _knn(q, keys, k), static_argnums=(2,)
+            )
 
         self._index = None
         if index_dim is not None:
@@ -213,6 +251,33 @@ class ClipService:
         result = np.concatenate(out, axis=0)
         return result
 
+    @staticmethod
+    def _make_sharded_knn(mesh):
+        """Two-stage exact top-k with the index rows sharded over the
+        mesh's data axis: each device scores its shard, all_gather of the
+        per-shard top-k, final top-k — the serving counterpart of
+        ops.knn.knn_search_sharded's training role."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from dclip_tpu.ops.knn import knn_search_sharded
+
+        def fn(q, keys, n_valid, k):
+            body = lambda q_, ks_, nv_: knn_search_sharded(  # noqa: E731
+                q_, ks_, "data", k, n_valid=nv_
+            )
+            return shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), P("data", None), P()),
+                out_specs=(P(), P()),
+                # all_gather makes both outputs replicated; the static
+                # checker cannot infer that through top_k/take_along_axis.
+                check_vma=False,
+            )(q, keys, n_valid)
+
+        return fn
+
     def warmup(self) -> Dict[str, float]:
         """Compile every bucket for both modalities; returns seconds per
         (modality, bucket) so startup time is observable."""
@@ -265,10 +330,24 @@ class ClipService:
         if len(self._index) == 0:
             return [[] for _ in range(len(queries))]
         keys = self._index.keys
-        k_eff = min(k, keys.shape[0])
-        scores, idx = self._search_jit(
-            jnp.asarray(queries, jnp.float32), jnp.asarray(keys), k_eff
-        )
+        n = keys.shape[0]
+        k_eff = min(k, n)
+        if self._ndev > 1:
+            # Pad rows up to the data-axis size; knn_search_sharded masks
+            # the pad rows to -inf via n_valid so they can never win.
+            pad = (-n) % self._ndev
+            if pad:
+                keys = np.concatenate(
+                    [keys, np.zeros((pad, keys.shape[1]), keys.dtype)]
+                )
+            scores, idx = self._search_jit(
+                jnp.asarray(queries, jnp.float32), jnp.asarray(keys),
+                jnp.asarray(n, jnp.int32), k_eff,
+            )
+        else:
+            scores, idx = self._search_jit(
+                jnp.asarray(queries, jnp.float32), jnp.asarray(keys), k_eff
+            )
         scores, idx = np.asarray(scores), np.asarray(idx)
         ids = self._index.ids
         return [

@@ -408,3 +408,65 @@ def test_build_service_from_student_checkpoint(tiny_service, tmp_path):
     original = base.encode_texts(texts)
     assert served.shape == original.shape
     assert not np.allclose(served, original)  # checkpoint actually applied
+
+
+# -- mesh serving --------------------------------------------------------------
+
+
+def test_mesh_service_parity(tiny_service, cpu_devices):
+    """ClipService over a 4-device data mesh: encode outputs and search
+    results match the single-device service bit-for-bit (params are
+    replicated, the batch shards, outputs gather; index search runs the
+    two-stage sharded top-k with pad-row masking)."""
+    from jax.sharding import Mesh
+
+    cfg, model, variables, tok, _shared = tiny_service
+    # Fresh single-device twin: the module-scoped service's index carries
+    # rows from earlier tests.
+    single = ClipService(
+        model, variables, cfg, tokenizer=tok, buckets=(4, 8),
+        index_dim=cfg.projection_dim,
+    )
+    mesh = Mesh(np.array(cpu_devices[:4]), ("data",))
+    svc = ClipService(
+        model, variables, cfg, tokenizer=tok, buckets=(4, 8),
+        index_dim=cfg.projection_dim, mesh=mesh,
+    )
+    texts = ["a dog", "two cats on a mat", "red car", "a house",
+             "blue bird", "tree", "boat on water"]
+    got = svc.encode_texts(texts)
+    want = single.encode_texts(texts)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    rng = np.random.RandomState(0)
+    size = cfg.vision.image_size
+    images = [rng.randint(0, 255, (size, size, 3), np.uint8)
+              for _ in range(5)]
+    got_i = svc.encode_images(images)
+    want_i = single.encode_images(images)
+    np.testing.assert_allclose(got_i, want_i, rtol=1e-5, atol=1e-6)
+
+    # Index with a row count that does NOT divide the mesh (pad masking):
+    # results must match the single-device search exactly.
+    emb = rng.randn(7, cfg.projection_dim).astype(np.float32)
+    ids = [f"img{i}" for i in range(7)]
+    svc.add_to_index(ids, emb)
+    single.add_to_index(ids, emb)
+    q = rng.randn(3, cfg.projection_dim).astype(np.float32)
+    got_s = svc.search(q, k=3)
+    want_s = single.search(q, k=3)
+    for g, w in zip(got_s, want_s):
+        assert [x[0] for x in g] == [x[0] for x in w]
+        np.testing.assert_allclose(
+            [x[1] for x in g], [x[1] for x in w], rtol=1e-5
+        )
+
+
+def test_mesh_service_bucket_validation(tiny_service, cpu_devices):
+    from jax.sharding import Mesh
+
+    cfg, model, variables, tok, _ = tiny_service
+    mesh = Mesh(np.array(cpu_devices[:4]), ("data",))
+    with pytest.raises(ValueError, match="divide the mesh"):
+        ClipService(model, variables, cfg, tokenizer=tok,
+                    buckets=(1, 4), mesh=mesh)
