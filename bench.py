@@ -123,6 +123,7 @@ def _time_steps(step_fn, n_steps: int) -> float:
 
 
 def _run() -> dict:
+    import os
     import time as _time
 
     import numpy as np
@@ -160,7 +161,11 @@ def _run() -> dict:
     from dclip_tpu.core.platform import is_tpu_platform
 
     on_tpu = is_tpu_platform(jax.default_backend())
-    batch = 64 if on_tpu else 8
+    # DCLIP_BENCH_BATCH overrides for batch-size sweeps. 256 is the
+    # measured sweet spot (sweep on the real chip: 64 -> 345.8 img/s
+    # MFU 0.720, 128 -> 349.5 / 0.728, 256 -> 363.5 / 0.757; the 512
+    # attempt landed in a degraded-tunnel window and never completed).
+    batch = int(os.environ.get("DCLIP_BENCH_BATCH", "256" if on_tpu else "8"))
     clip_cfg = CLIPConfig.vit_b_16() if on_tpu else CLIPConfig.tiny_test()
     teacher_cfg = TeacherConfig(
         embed_dim=clip_cfg.projection_dim,
