@@ -2,16 +2,28 @@
 
 A serving container should ship a model ARTIFACT, not the framework's
 module code: `export_encoders` lowers the text/image encode functions to
-StableHLO for each serving bucket and writes them (plus a manifest) to a
-directory; `load_exported` rehydrates callables from the artifact alone
-— no Flax model, no config classes, no weight files (weights are baked
-into the exported computation as constants).
+StableHLO for each serving bucket and writes them (plus a manifest and
+one `params.npz`) to a directory; `load_exported` rehydrates callables
+from the artifact alone — no Flax model, no config classes.
+
+Weights travel as an ARGUMENT of the exported functions, stored once in
+`params.npz`, not baked into each StableHLO blob. Two reasons this is
+the only correct layout:
+  * one copy — baked constants are duplicated per (modality, bucket)
+    entry, so a 3-bucket artifact would carry the model six times;
+  * int8 stays int8 — a closure-captured numpy tree is CONCRETE during
+    tracing, so the weight dequant (`q.astype(f32) * scale`) would
+    constant-fold at trace time and bake dequantized f32 weights,
+    silently quadrupling the artifact the quantization exists to shrink.
+    As a jit argument the dequant is traced and fuses into the GEMM's
+    operand read on device, exactly like the live `ClipService` path.
 
 New capability vs the reference (its eval scripts re-instantiate
 `CLIPModel.from_pretrained` everywhere; there is no deployment artifact).
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
@@ -23,6 +35,39 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 _MANIFEST = "manifest.json"
+_PARAMS = "params.npz"
+_KEY_SEP = "//"  # path separator in params.npz keys ('/' can appear in names)
+
+
+def _save_params_npz(path: str, tree: Dict[str, Any]) -> int:
+    """Write a nested dict of arrays as a flat npz; returns bytes written."""
+    flat: Dict[str, np.ndarray] = {}
+
+    from collections.abc import Mapping
+
+    def walk(prefix, node):
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                walk(prefix + [str(k)], v)
+        else:
+            flat[_KEY_SEP.join(prefix)] = np.asarray(node)
+
+    walk([], tree)
+    with open(path, "wb") as f:
+        np.savez(f, **flat)
+    return os.path.getsize(path)
+
+
+def _load_params_npz(path: str) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    with np.load(path) as z:
+        for key in z.files:
+            parts = key.split(_KEY_SEP)
+            node = tree
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+    return tree
 
 
 def export_encoders(
@@ -38,9 +83,9 @@ def export_encoders(
 
     platforms: lowering targets (default: the current backend). Pass
     e.g. ("cpu", "tpu") for an artifact loadable on both.
-    quantize="int8" bakes int8 weights in (serve.quant, ~4x smaller
-    artifact, weight-only dequant at run time).
-    Returns {artifact_name: bytes_written}.
+    quantize="int8" stores int8 weights in params.npz (serve.quant,
+    ~4x smaller sidecar, weight-only dequant fused on device).
+    Returns {artifact_name: bytes_written} incl. "params.npz".
     """
     os.makedirs(out_dir, exist_ok=True)
     text_len = cfg.text.max_length
@@ -53,14 +98,16 @@ def export_encoders(
         )
 
     if quantize is None:
-        def text_fn(ids, mask):
+        params_tree: Dict[str, Any] = variables
+
+        def text_fn(params, ids, mask):
             return _norm(model.apply(
-                variables, ids, mask, method=model.get_text_features
+                params, ids, mask, method=model.get_text_features
             ))
 
-        def image_fn(pixels):
+        def image_fn(params, pixels):
             return _norm(model.apply(
-                variables, pixels, method=model.get_image_features
+                params, pixels, method=model.get_image_features
             ))
 
     elif quantize == "int8":
@@ -70,19 +117,26 @@ def export_encoders(
             quantized_text_features,
         )
 
-        qparams = quantize_clip(variables, cfg)
+        params_tree = quantize_clip(variables, cfg)
 
-        def text_fn(ids, mask):
-            return _norm(quantized_text_features(cfg, qparams, ids, mask))
+        def text_fn(params, ids, mask):
+            return _norm(quantized_text_features(cfg, params, ids, mask))
 
-        def image_fn(pixels):
-            return _norm(quantized_image_features(cfg, qparams, pixels))
+        def image_fn(params, pixels):
+            return _norm(quantized_image_features(cfg, params, pixels))
 
     else:
         raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
 
     kw = {} if platforms is None else {"platforms": tuple(platforms)}
     written: Dict[str, int] = {}
+    written[_PARAMS] = _save_params_npz(
+        os.path.join(out_dir, _PARAMS), params_tree
+    )
+    params_shapes = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        params_tree,
+    )
     entries = []
     for b in sorted(set(batch_sizes)):
         specs = {
@@ -99,7 +153,7 @@ def export_encoders(
             ),
         }
         for modality, (fn, args) in specs.items():
-            exp = jax_export.export(jax.jit(fn), **kw)(*args)
+            exp = jax_export.export(jax.jit(fn), **kw)(params_shapes, *args)
             name = f"{modality}_b{b}.stablehlo"
             blob = bytes(exp.serialize())
             with open(os.path.join(out_dir, name), "wb") as f:
@@ -114,7 +168,8 @@ def export_encoders(
                 }
             )
     manifest = {
-        "format": "dclip_tpu.serve.export/1",
+        "format": "dclip_tpu.serve.export/2",
+        "params_file": _PARAMS,
         "projection_dim": cfg.projection_dim,
         "text_max_length": text_len,
         "image_size": img_size,
@@ -167,11 +222,21 @@ def load_exported(out_dir: str) -> ExportedEncoders:
     fmt = manifest.get("format", "")
     if not fmt.startswith("dclip_tpu.serve.export/"):
         raise ValueError(f"not a dclip export artifact: {out_dir} ({fmt!r})")
+    params = None
+    if manifest.get("params_file"):
+        # One device_put at load; every exp.call then reuses the same
+        # device buffers (no per-request weight transfer).
+        params = jax.device_put(
+            _load_params_npz(os.path.join(out_dir, manifest["params_file"]))
+        )
     fns: Dict[Tuple[str, int], Callable] = {}
     for e in manifest["entries"]:
         with open(os.path.join(out_dir, e["file"]), "rb") as f:
             exp = jax_export.deserialize(bytearray(f.read()))
-        fns[(e["modality"], int(e["batch"]))] = exp.call
+        call = exp.call
+        if params is not None:
+            call = functools.partial(call, params)
+        fns[(e["modality"], int(e["batch"]))] = call
     return ExportedEncoders(manifest, fns)
 
 
