@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_workers", type=int, default=0,
                    help="decode worker processes (0 = threads only); the "
                         "reference's DataLoader(num_workers=...)")
+    p.add_argument("--fast_decode", action="store_true",
+                   help="scaled DCT JPEG decode (PIL draft): ~2-4x decode "
+                        "throughput per core, ~0.5%% mean pixel delta vs "
+                        "the exact HF resize geometry (training-only knob; "
+                        "eval paths always decode exact)")
     p.add_argument("--max_patches", type=int, default=8)
     p.add_argument("--teacher_image_size", type=int, default=224)
     p.add_argument("--compute_dtype", default="auto",
@@ -138,6 +143,7 @@ def main(argv=None) -> int:
             max_text_tokens=clip_cfg.text.max_length,
             seed=cfg.seed,
             num_workers=args.num_workers,
+            fast_decode=args.fast_decode,
         )
 
     train_pipe = pipeline_for(cfg.train_file)

@@ -251,6 +251,44 @@ def test_pipeline_shapes_and_determinism(tiny_corpus):
     assert not np.array_equal(b.index, other[0].index)
 
 
+def test_pipeline_fast_decode_close_and_box_invariant(tmp_path):
+    """--fast_decode (scaled DCT decode) must keep pixels within tolerance
+    of the exact path and must not perturb box rescaling (which is computed
+    from the ORIGINAL frame size, read before the draft shrinks it)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    # Smooth gradient + noise, large enough for a 1/2-scale draft.
+    y, x = np.mgrid[0:120, 0:160]
+    arr = np.stack([x * 255 // 160, y * 255 // 120,
+                    rng.randint(0, 60, (120, 160))], -1).astype(np.uint8)
+    jpg = str(tmp_path / "big.jpg")
+    Image.fromarray(arr).save(jpg, "JPEG", quality=92)
+    items = [{"image_path": jpg, "captions": ["c"], "dataset": "t",
+              "boxes": []}]
+    cache = DetectionCache()
+    cache.put(jpg, np.array([[10.0, 10.0, 150.0, 110.0]]), np.array([0.9]))
+
+    def run(fast):
+        pipe = MultiModalPipeline(
+            items, HashTokenizer(max_length=8), cache, batch_size=1,
+            max_patches=2, image_size=32, teacher_image_size=24,
+            shuffle=False, drop_remainder=False, fast_decode=fast,
+        )
+        (b,) = list(pipe.epoch(0))
+        return b
+
+    exact, fast = run(False), run(True)
+    # Boxes: bit-identical (scale factors come from the header size).
+    np.testing.assert_array_equal(exact.boxes, fast.boxes)
+    np.testing.assert_array_equal(exact.box_mask, fast.box_mask)
+    # Pixels: close but allowed to differ (draft decodes at 1/2 scale).
+    assert exact.pixel_values.shape == fast.pixel_values.shape
+    d = np.abs(exact.pixel_values - fast.pixel_values)
+    assert d.mean() < 0.08, d.mean()  # normalized units
+    assert np.abs(exact.teacher_pixels - fast.teacher_pixels).mean() < 0.04
+
+
 def test_pipeline_broken_image_zero_fallback(tiny_corpus):
     pipe = MultiModalPipeline(
         tiny_corpus, HashTokenizer(max_length=12), None,
