@@ -293,6 +293,36 @@ def _bench(service, args) -> int:
     return 0
 
 
+def _export(args) -> int:
+    """--export_dir: lower the encode functions for each bucket and write
+    the self-contained artifact (manifest + StableHLO + params.npz)."""
+    from dclip_tpu.cli.common import load_clip, restore_student_params
+    from dclip_tpu.serve.export import export_encoders
+
+    cfg, model, variables = load_clip(
+        args.model_preset, args.clip_weights, seed=args.seed,
+        compute_dtype="auto", fast_init=True,
+    )
+    if args.student_checkpoint:
+        params = restore_student_params(
+            args.student_checkpoint, variables["params"]
+        )
+        variables = {**variables, "params": params}
+    platforms = (
+        tuple(s for s in args.export_platforms.split(",") if s)
+        or None
+    )
+    written = export_encoders(
+        model, variables, cfg, args.export_dir,
+        batch_sizes=tuple(int(b) for b in args.buckets.split(",")),
+        platforms=platforms,
+        quantize=args.quantize or None,
+    )
+    print(json.dumps({"export_dir": args.export_dir, "written": written}),
+          flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     from dclip_tpu.cli.common import add_model_args
 
@@ -325,7 +355,18 @@ def main(argv=None) -> int:
                         "encoder) under concurrent load and exit: one JSON "
                         "line per (modality, concurrency) with throughput "
                         "and latency percentiles")
+    p.add_argument("--export_dir", default="",
+                   help="write an AOT serving artifact (StableHLO per "
+                        "bucket + params.npz, serve.export) to this "
+                        "directory and exit — honors --buckets, "
+                        "--student_checkpoint and --quantize")
+    p.add_argument("--export_platforms", default="",
+                   help="comma-separated lowering targets for --export_dir "
+                        "(e.g. 'cpu,tpu'; default: current backend)")
     args = p.parse_args(argv)
+
+    if args.export_dir:
+        return _export(args)
 
     service = build_service(args)
     if args.selftest:

@@ -414,6 +414,29 @@ def test_build_service_from_student_checkpoint(tiny_service, tmp_path):
     assert not np.allclose(served, original)  # checkpoint actually applied
 
 
+def test_cli_export_dir_writes_loadable_artifact(tmp_path):
+    """cli.serve --export_dir: one command emits the AOT artifact."""
+    from dclip_tpu.cli.serve import main
+    from dclip_tpu.serve.export import load_exported
+
+    out = str(tmp_path / "artifact")
+    rc = main([
+        "--model_preset", "tiny", "--clip_weights", "random",
+        "--tokenizer_dir", "hash", "--buckets", "1,4",
+        "--quantize", "int8", "--export_dir", out,
+        "--export_platforms", "cpu",
+    ])
+    assert rc == 0
+    loaded = load_exported(out)
+    assert loaded.manifest["quantize"] == "int8"
+    emb = loaded.encode_texts_ids(
+        np.ones((2, loaded.manifest["text_max_length"]), np.int32),
+        np.ones((2, loaded.manifest["text_max_length"]), np.int32),
+    )
+    assert emb.shape == (2, loaded.manifest["projection_dim"])
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-4)
+
+
 # -- mesh serving --------------------------------------------------------------
 
 
