@@ -38,6 +38,7 @@ same rules as kernels/vit_block.py; parity with the Flax module and with
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -66,18 +67,21 @@ def _pick_chunk(mlp_dim: int) -> int:
 # reuses the f32 row buffers it counts separately), and the B/16 shape —
 # 197x768x3072, the flagship config — was validated to compile and run on
 # a real v5e chip. ViT-L/14 (16.8 MB of bf16 fc weights alone) exceeds
-# physical VMEM under any accounting and must take the XLA fallback.
+# physical VMEM with resident weights and takes the TILED variant below
+# (weights streamed in mlp-dim blocks over a second grid axis).
 _FROZEN_VMEM_LIMIT = 16 * 2**20
+# The tiled variant leaves headroom for Mosaic's double-buffered weight
+# streams on top of the accumulators it keeps live across grid steps.
+_TILED_VMEM_LIMIT = 14 * 2**20
 
 
-def mlp_frozen_fit(seq: int, hidden: int, mlp_dim: int, itemsize: int) -> bool:
-    """Whether the frozen-MLP kernel pair fits one program's VMEM.
+def _resident_fit(seq: int, hidden: int, mlp_dim: int, itemsize: int) -> bool:
+    """Whether the weights-resident kernel pair fits one program's VMEM.
 
     Backward budget (the larger of the two): both weight matrices resident
     (2*hidden*mlp_dim*itemsize), the double-buffered row blocks
     (x, g, a1 in; dx out), ~2 live [seq, hidden] f32 rows (Mosaic reuses
     the rest in place) and ~3 live [seq, chunk] f32 chunk intermediates.
-    ViT-L/14 fails and falls back to the XLA path — correct, just slower.
     """
     f32 = 4
     chunk = _pick_chunk(mlp_dim)
@@ -85,6 +89,41 @@ def mlp_frozen_fit(seq: int, hidden: int, mlp_dim: int, itemsize: int) -> bool:
     weights = 2 * hidden * mlp_dim * itemsize
     work = 2 * seq * hidden * f32 + 3 * seq * chunk * f32
     return weights + blocks + work <= _FROZEN_VMEM_LIMIT
+
+
+def _tiled_chunk(
+    seq: int, hidden: int, mlp_dim: int, itemsize: int
+) -> Optional[int]:
+    """Largest mlp-dim tile for the weight-streaming kernels, or None.
+
+    Per grid step: both weight tiles double-buffered (4*hidden*C), the
+    resident row blocks (x, g double-buffered entering a new batch row;
+    dx out; the [S, C] a1 tile), one [S, D] f32 accumulator that lives
+    across the j sweep, and ~3 [S, C] f32 chunk intermediates.
+    """
+    f32 = 4
+    for c in (1024, 512, 256, 128):
+        if mlp_dim % c or mlp_dim // c < 2:
+            continue
+        weights = 4 * hidden * c * itemsize
+        blocks = (5 * seq * hidden + 3 * seq * c) * itemsize
+        work = seq * hidden * f32 + 3 * seq * c * f32
+        acc = seq * hidden * f32
+        if weights + blocks + work + acc <= _TILED_VMEM_LIMIT:
+            return c
+    return None
+
+
+def mlp_frozen_fit(seq: int, hidden: int, mlp_dim: int, itemsize: int) -> bool:
+    """Whether SOME frozen-MLP kernel pair (resident or tiled) fits VMEM.
+
+    B/16 (197x768x3072) takes the weights-resident pair; ViT-L/14
+    (257x1024x4096) streams weight tiles. Only shapes where even a
+    128-wide tile overflows fall back to the XLA path."""
+    return (
+        _resident_fit(seq, hidden, mlp_dim, itemsize)
+        or _tiled_chunk(seq, hidden, mlp_dim, itemsize) is not None
+    )
 
 
 def _fwd_save_kernel(eps: float, chunk: int,
@@ -153,6 +192,93 @@ def _bwd_dx_kernel(eps: float, chunk: int,
     dx_ref[0] = (g + rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
 
 
+def _fwd_kernel_tiled(eps: float, save_a1: bool, *refs):
+    """Weight-streaming forward: grid (batch, mlp_tiles), j innermost.
+
+    Per (i, j): recompute LN(x) (VPU-cheap vs the tile GEMMs), run the
+    fc1/fc2 tile pair, and add the fc2 contribution into a [S, D] f32
+    accumulator that lives across the j sweep; the row output (and the
+    optional a1 tile for the backward) leave VMEM once."""
+    if save_a1:
+        (x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         o_ref, a1_ref, acc_ref) = refs
+    else:
+        (x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         o_ref, acc_ref) = refs
+        a1_ref = None
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    x = x_ref[0].astype(jnp.float32)  # [S, D]
+    h = _layer_norm(x, lns_ref[:], lnb_ref[:], eps)
+    a1_c = jnp.dot(
+        h, w1_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32
+    ) + b1_ref[0]  # [S, C]
+    if a1_ref is not None:
+        a1_ref[0] = a1_c.astype(a1_ref.dtype)
+    contrib = jnp.dot(
+        _quick_gelu(a1_c), w2_ref[:].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )  # [S, D]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:, :] = x + b2_ref[:] + contrib
+
+    @pl.when(j > 0)
+    def _accum():
+        acc_ref[:, :] = acc_ref[:, :] + contrib
+
+    @pl.when(j == nj - 1)
+    def _flush():
+        o_ref[0] = acc_ref[:, :].astype(o_ref.dtype)
+
+
+def _bwd_dx_kernel_tiled(eps: float, *refs):
+    """Weight-streaming dx backward: grid (batch, mlp_tiles), j innermost.
+
+    Accumulates dh = sum_j (g W2_j^T * gelu'(a1_j)) W1_j^T in a [S, D]
+    f32 accumulator; the LayerNorm backward runs once at the last tile."""
+    (x_ref, g_ref, a1_ref, lns_ref, w1_ref, w2_ref, dx_ref, dh_ref) = refs
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    g = g_ref[0].astype(jnp.float32)  # [S, D]
+    a1_c = a1_ref[0].astype(jnp.float32)  # [S, C]
+    s = jax.nn.sigmoid(1.702 * a1_c)
+    dgelu = s + 1.702 * a1_c * s * (1.0 - s)
+    dhg_c = jax.lax.dot_general(  # g W2_j^T -> [S, C]
+        g, w2_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    da1_c = dhg_c * dgelu
+    contrib = jax.lax.dot_general(  # da1_c W1_j^T -> [S, D]
+        da1_c, w1_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == 0)
+    def _init():
+        dh_ref[:, :] = contrib
+
+    @pl.when(j > 0)
+    def _accum():
+        dh_ref[:, :] = dh_ref[:, :] + contrib
+
+    @pl.when(j == nj - 1)
+    def _ln_bwd():
+        x = x_ref[0].astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        xc = x - mean
+        var = jnp.mean(jnp.square(xc), axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = xc * rstd
+        dxhat = dh_ref[:, :] * lns_ref[:]
+        m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+        m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx_ref[0] = (g + rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
 def _row_spec(b, s, d):
     return pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
@@ -178,13 +304,42 @@ def mlp_block_frozen(
     b2: jnp.ndarray,
     eps: float = 1e-5,
     interpret: bool = False,
+    tile: Optional[int] = None,
 ) -> jnp.ndarray:
     """Differentiable-in-x fused MLP block with FROZEN weights.
 
     Weight cotangents are zero (see module docstring for the contract);
     callers must only enable this when the optimizer mask excludes the
     layer's LN+MLP weights.
+
+    Picks the weights-resident kernel pair when it fits VMEM (B/16) and
+    the weight-streaming tiled pair otherwise (L/14); `tile` forces a
+    specific mlp-dim tile (tests / tuning).
     """
+    b, s, d = x.shape
+    mlp_dim = w1.shape[1]
+    itemsize = jnp.dtype(x.dtype).itemsize
+    if tile is None and _resident_fit(s, d, mlp_dim, itemsize):
+        c = None  # resident
+    else:
+        c = tile or _tiled_chunk(s, d, mlp_dim, itemsize)
+        if c is None:
+            raise ValueError(
+                f"frozen-MLP kernel does not fit VMEM at S={s} D={d} "
+                f"mlp={mlp_dim}; gate callers with mlp_frozen_fit()"
+            )
+    if c is None:
+        return _mlp_block_frozen_resident(
+            x, ln_scale, ln_bias, w1, b1, w2, b2, eps, interpret
+        )
+    return _mlp_block_frozen_tiled(
+        x, ln_scale, ln_bias, w1, b1, w2, b2, eps, interpret, c
+    )
+
+
+def _mlp_block_frozen_resident(
+    x, ln_scale, ln_bias, w1, b1, w2, b2, eps, interpret
+):
     b, s, d = x.shape
     mlp_dim = w1.shape[1]
     chunk = _pick_chunk(mlp_dim)
@@ -247,6 +402,89 @@ def mlp_block_frozen(
                 transcendentals=b * s * mlp_dim,
             ),
         )(xr, g.astype(xr.dtype), a1, *bwd_consts)
+        return (dx.astype(xr.dtype),) + tuple(
+            jnp.zeros_like(o) for o in origs
+        )
+
+    f.defvjp(fwd, bwd)
+    return f(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _mlp_block_frozen_tiled(
+    x, ln_scale, ln_bias, w1, b1, w2, b2, eps, interpret, c
+):
+    """Weight-streaming variant: grid (B, mlp/c), weight tiles DMA'd per
+    step, one [S, D] f32 accumulator lives across the inner sweep."""
+    b, s, d = x.shape
+    mlp_dim = w1.shape[1]
+    nj = mlp_dim // c
+    row = lambda i, j: (i, 0, 0)  # noqa: E731
+    x_spec = pl.BlockSpec((1, s, d), row, memory_space=pltpu.VMEM)
+    vec = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    w1_spec = pl.BlockSpec((d, c), lambda i, j: (0, j),
+                           memory_space=pltpu.VMEM)
+    b1_spec = pl.BlockSpec((1, c), lambda i, j: (j, 0),
+                           memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec((c, d), lambda i, j: (j, 0),
+                           memory_space=pltpu.VMEM)
+    a1_spec = pl.BlockSpec((1, s, c), lambda i, j: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((s, d), jnp.float32)]
+
+    @jax.custom_vjp
+    def f(x, ln_scale, ln_bias, w1, b1, w2, b2):
+        consts = _cast_consts(x, ln_scale, ln_bias, w1, b1, w2, b2)
+        consts[3] = consts[3].reshape(nj, c)  # b1 rows per tile
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_tiled, eps, False),
+            grid=(b, nj),
+            in_specs=[x_spec, vec((d,)), vec((d,)), w1_spec, b1_spec,
+                      w2_spec, vec((d,))],
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(x, *consts)
+
+    def fwd(x, ln_scale, ln_bias, w1, b1, w2, b2):
+        consts = _cast_consts(x, ln_scale, ln_bias, w1, b1, w2, b2)
+        consts[3] = consts[3].reshape(nj, c)
+        y, a1 = pl.pallas_call(
+            functools.partial(_fwd_kernel_tiled, eps, True),
+            grid=(b, nj),
+            in_specs=[x_spec, vec((d,)), vec((d,)), w1_spec, b1_spec,
+                      w2_spec, vec((d,))],
+            out_specs=(x_spec, a1_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, s, d), x.dtype),
+                jax.ShapeDtypeStruct((b, s, mlp_dim), x.dtype),
+            ),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(x, *consts)
+        return y, (x, a1, consts[0], consts[2], consts[4],
+                   (ln_scale, ln_bias, w1, b1, w2, b2))
+
+    def bwd(res, g):
+        xr, a1, ln_s, w1c, w2c, origs = res
+        dx = pl.pallas_call(
+            functools.partial(_bwd_dx_kernel_tiled, eps),
+            grid=(b, nj),
+            in_specs=[x_spec, x_spec, a1_spec, vec((d,)), w1_spec, w2_spec],
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct((b, s, d), xr.dtype),
+            scratch_shapes=scratch,
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * b * s * d * mlp_dim,
+                bytes_accessed=(3 * b * s * d + b * s * mlp_dim)
+                * xr.dtype.itemsize
+                + 2 * b * d * mlp_dim * xr.dtype.itemsize,
+                transcendentals=b * s * mlp_dim,
+            ),
+        )(xr, g.astype(xr.dtype), a1, ln_s, w1c, w2c)
         return (dx.astype(xr.dtype),) + tuple(
             jnp.zeros_like(o) for o in origs
         )

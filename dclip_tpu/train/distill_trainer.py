@@ -306,7 +306,8 @@ class DistillTrainer(BaseTrainer):
         """Student module for the current unfreeze stage: the fused
         frozen-MLP vision path is enabled exactly while the mask keeps
         the vision LN2+MLP weights frozen and the kernel pair fits VMEM
-        (ViT-L/14 overflows and stays on XLA)."""
+        (ViT-L/14 overflows weight residency and takes the tiled
+        weight-streaming pair; see kernels/mlp_frozen.py)."""
         fused_frozen = False
         fused_text = False
         if self.cfg.use_pallas:

@@ -397,14 +397,57 @@ def test_mlp_frozen_grad_parity(frozen_mlp_args):
 
 
 def test_mlp_frozen_fit_budget():
-    """B/16 fits; ViT-L/14 does not (falls back to XLA)."""
+    """B/16 takes the weights-resident pair; ViT-L/14 overflows residency
+    but is admitted through the weight-streaming tiled pair."""
     from dclip_tpu.core.config import CLIPConfig
-    from dclip_tpu.kernels.mlp_frozen import mlp_frozen_fit
+    from dclip_tpu.kernels.mlp_frozen import (
+        _resident_fit,
+        _tiled_chunk,
+        mlp_frozen_fit,
+    )
 
     b16 = CLIPConfig.vit_b_16().vision
+    assert _resident_fit(b16.num_patches + 1, b16.hidden_size, b16.mlp_dim, 2)
     assert mlp_frozen_fit(b16.num_patches + 1, b16.hidden_size, b16.mlp_dim, 2)
     l14 = CLIPConfig.vit_l_14().vision
-    assert not mlp_frozen_fit(l14.num_patches + 1, l14.hidden_size, l14.mlp_dim, 2)
+    s14 = l14.num_patches + 1
+    assert not _resident_fit(s14, l14.hidden_size, l14.mlp_dim, 2)
+    c = _tiled_chunk(s14, l14.hidden_size, l14.mlp_dim, 2)
+    assert c is not None and l14.mlp_dim % c == 0
+    assert mlp_frozen_fit(s14, l14.hidden_size, l14.mlp_dim, 2)
+
+
+def test_mlp_frozen_tiled_forward_parity(frozen_mlp_args):
+    """The weight-streaming variant matches the XLA twin bit-for-tolerance
+    (4 tiles of 64 over mlp_dim=256)."""
+    from dclip_tpu.kernels.mlp_frozen import mlp_block_frozen, mlp_frozen_xla
+
+    want = mlp_frozen_xla(*frozen_mlp_args)
+    got = mlp_block_frozen(*frozen_mlp_args, interpret=True, tile=64)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_mlp_frozen_tiled_grad_parity(frozen_mlp_args):
+    """Tiled dx matches jax.grad of the XLA twin; weight cotangents zero."""
+    from dclip_tpu.kernels.mlp_frozen import mlp_block_frozen, mlp_frozen_xla
+
+    co = jnp.asarray(
+        np.random.RandomState(9).randn(*frozen_mlp_args[0].shape).astype(np.float32)
+    )
+    gk = jax.grad(
+        lambda *a: jnp.sum(mlp_block_frozen(*a, interpret=True, tile=64) * co),
+        argnums=tuple(range(7)),
+    )(*frozen_mlp_args)
+    gx = jax.grad(lambda *a: jnp.sum(mlp_frozen_xla(*a) * co), argnums=0)(
+        *frozen_mlp_args
+    )
+    np.testing.assert_allclose(
+        np.asarray(gk[0]), np.asarray(gx), rtol=1e-4, atol=1e-5
+    )
+    for g in gk[1:]:
+        assert float(jnp.abs(g).max()) == 0.0
 
 
 def test_clip_fused_frozen_mlp_module_parity():
