@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "throughput per core, ~0.5%% mean pixel delta vs "
                         "the exact HF resize geometry (training-only knob; "
                         "eval paths always decode exact)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (multi-host pod): the "
+                        "input pipeline shards per process, checkpoints/"
+                        "metrics write on process 0 only")
     p.add_argument("--max_patches", type=int, default=8)
     p.add_argument("--teacher_image_size", type=int, default=224)
     p.add_argument("--compute_dtype", default="auto",
@@ -131,6 +135,11 @@ def load_teacher_params(path, teacher_cfg, clip_cfg, seed):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.multihost:
+        import jax
+
+        # Must run before the first backend touch (load_clip compiles).
+        jax.distributed.initialize()
     teacher_clip_cfg, _, teacher_clip_vars = load_clip(
         args.model_preset, args.clip_weights, args.seed
     )
@@ -197,9 +206,15 @@ def main(argv=None) -> int:
     mesh = make_mesh(cfg.mesh)
     dp = mesh.shape.get(cfg.mesh.data_axis, 1)
 
+    from dclip_tpu.parallel.multihost import is_primary, process_data_shard
+
+    shard_index, shard_count = process_data_shard()
+
     def pipeline_for(path, batch_size, drop_remainder=True):
         # Validation keeps partial batches: a val set smaller than the
         # batch would otherwise silently evaluate nothing.
+        # A tail batch cannot be split across processes.
+        drop_remainder = drop_remainder or shard_count > 1
         return MultiModalPipeline(
             load_corpus(path),
             tokenizer,
@@ -213,6 +228,8 @@ def main(argv=None) -> int:
             seed=cfg.seed,
             num_workers=args.num_workers,
             fast_decode=args.fast_decode,
+            shard_index=shard_index,
+            shard_count=shard_count,
         )
 
     train_pipe = pipeline_for(cfg.train_file, cfg.train_batch_size)
@@ -259,6 +276,10 @@ def main(argv=None) -> int:
     )
     start_epoch = trainer.resume(ckpts) if args.resume else 0
     logger = MetricsLogger(args.metrics_csv, print_every=cfg.log_every)
+    if not is_primary():
+        # Every process holds identical replicated state; exactly one
+        # persists it (and the metrics CSV).
+        ckpts, logger = None, None
     trainer.fit(train_pipe, val_pipe, checkpoints=ckpts, logger=logger,
                 start_epoch=start_epoch)
     return 0

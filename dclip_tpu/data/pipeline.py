@@ -216,6 +216,8 @@ class MultiModalPipeline:
         num_workers: int = 0,
         monitor_starvation: bool = True,
         fast_decode: bool = False,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
         self.items = list(items)
         self.tokenizer = tokenizer
@@ -238,6 +240,29 @@ class MultiModalPipeline:
         # resolution), ~0.5% mean pixel delta vs the exact HF geometry —
         # opt-in, so eval/golden paths stay bit-comparable by default.
         self.fast_decode = fast_decode
+        # Multi-host sharding: `batch_size` stays the GLOBAL batch size;
+        # process p loads rows [p*local : (p+1)*local] of every global
+        # batch, so the global array assembled by
+        # parallel.multihost.put_sharded is the same concatenation a
+        # single process would have produced (determinism pinned by the
+        # 2-process test). The epoch order is seeded identically on every
+        # process — no coordination needed.
+        if shard_count > 1:
+            if batch_size % shard_count:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by "
+                    f"shard_count {shard_count}"
+                )
+            if not (0 <= shard_index < shard_count):
+                raise ValueError(f"shard_index {shard_index} out of range")
+            if not drop_remainder:
+                raise ValueError(
+                    "shard_count > 1 requires drop_remainder=True (a tail "
+                    "batch cannot be split evenly across processes)"
+                )
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self._local_bs = batch_size // shard_count
         self._pool = None
         # One warning per pipeline lifetime (latched across epochs).
         self._starvation_monitor = (
@@ -373,7 +398,9 @@ class MultiModalPipeline:
                     for b in range(n_batches):
                         if stop.is_set():
                             return
-                        idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                        start = (b * self.batch_size
+                                 + self.shard_index * self._local_bs)
+                        idxs = order[start : start + self._local_bs]
                         t0 = time.perf_counter()
                         loaded = load(idxs)
                         supply["load_s"] += time.perf_counter() - t0

@@ -146,9 +146,11 @@ class BaseTrainer:
     _HOST_ONLY_FIELDS = ("index", "content_key", "conf")
 
     def _device_batch(self, batch, fields=None) -> Dict[str, jnp.ndarray]:
+        from dclip_tpu.parallel.multihost import put_sharded
+
         d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
         return {
-            k: jax.device_put(v, self._batch_sharding)
+            k: put_sharded(v, self._batch_sharding)
             for k, v in d.items()
             if k not in self._HOST_ONLY_FIELDS
             and v is not None

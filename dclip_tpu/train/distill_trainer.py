@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -39,6 +41,7 @@ from dclip_tpu.models.teacher import (
 )
 from dclip_tpu.ops.losses import distillation_loss
 from dclip_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
+from dclip_tpu.parallel.multihost import put_sharded
 from dclip_tpu.train.base import BaseTrainer
 from dclip_tpu.train.optim import (
     TrainState,
@@ -598,8 +601,8 @@ class DistillTrainer(BaseTrainer):
                 if probe_full:
                     cached = self.teacher_cache.get_batch(keys)
                     if cached is not None:
-                        t = jax.device_put(
-                            jnp.asarray(cached), self._batch_sharding
+                        t = put_sharded(
+                            np.asarray(cached), self._batch_sharding
                         )
                         return t[:, 0], t[:, 1]
                 patch_keys = self.teacher_cache.pe_keys_for(d)
@@ -611,8 +614,8 @@ class DistillTrainer(BaseTrainer):
                     # Same dtype as the miss path (the cache stores f32):
                     # a dtype flip would retrace the teacher-tail jit and
                     # make cached-epoch targets numerically differ.
-                    pe = jax.device_put(
-                        jnp.asarray(
+                    pe = put_sharded(
+                        np.asarray(
                             cached_pe, dtype=jnp.dtype(self.cfg.compute_dtype)
                         ),
                         self._batch_sharding,
@@ -647,7 +650,7 @@ class DistillTrainer(BaseTrainer):
             cached = self.teacher_cache.get_batch(keys)
         if cached is not None:
             device_batch = self._device_batch(batch, self._STUDENT_FIELDS)
-            t = jax.device_put(jnp.asarray(cached), self._batch_sharding)
+            t = put_sharded(np.asarray(cached), self._batch_sharding)
             teacher_img, teacher_txt = t[:, 0], t[:, 1]
         else:
             device_batch = self._device_batch(batch)
