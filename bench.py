@@ -174,45 +174,33 @@ def _run() -> dict:
         max_text_tokens=clip_cfg.text.max_length,
     )
 
-    # Weights built host-side from eval_shape + numpy, one transfer: eager
-    # flax init issues hundreds of tiny ops, each a ~0.35s compile
-    # round-trip through the tunnel (measured ~96s of the child budget),
-    # and real jax init on this single-core host CPU is minutes. Bench
-    # measures throughput, not convergence — value distribution only needs
-    # to keep the loss finite.
+    # Weights built host-side from eval_shape + numpy, one transfer (see
+    # cli.common.host_random_variables: eager flax init costs ~96s of the
+    # child budget through the tunnel). Bench measures throughput, not
+    # convergence — the value distribution only needs a finite loss.
+    from dclip_tpu.cli.common import host_random_variables
+
     clip = CLIPModule(clip_cfg)
     teacher = PatchTextAggregation(teacher_cfg)
     rng = jax.random.PRNGKey(0)
 
-    def _host_init(init_fn):
-        shapes = jax.eval_shape(init_fn)
-        host_rng = np.random.RandomState(0)
-        return jax.tree_util.tree_map(
-            lambda s: (
-                np.asarray(
-                    host_rng.standard_normal(s.shape) * 0.02, dtype=s.dtype
-                )
-                if np.issubdtype(s.dtype, np.floating)
-                else np.zeros(s.shape, s.dtype)
-            ),
-            shapes,
-        )
-
-    variables = _host_init(
+    variables = host_random_variables(
+        clip,
         lambda: clip.init(
             rng,
             jnp.zeros((1, clip_cfg.text.max_length), jnp.int32),
             jnp.zeros(
                 (1, clip_cfg.vision.image_size, clip_cfg.vision.image_size, 3)
             ),
-        )
+        ),
     )
-    tparams = _host_init(
+    tparams = host_random_variables(
+        teacher,
         lambda: teacher.init(
             jax.random.PRNGKey(1),
             jnp.zeros((1, teacher_cfg.max_text_tokens, clip_cfg.projection_dim)),
             jnp.zeros((1, teacher_cfg.max_patches, clip_cfg.projection_dim)),
-        )
+        ),
     )["params"]
     dev = jax.devices()[0]
     variables = jax.device_put(variables, dev)

@@ -216,7 +216,7 @@ def main(argv=None) -> int:
         ckpts, logger = None, None
     trainer.fit(train_pipe, val_pipe, checkpoints=ckpts, logger=logger,
                 start_epoch=start_epoch)
-    best = ckpts.best()
+    best = ckpts.best() if ckpts is not None else None
     if best:
         print(f"Best model: {best['path']} (val_loss={best['metrics']['val_loss']:.4f})")
     return 0

@@ -44,6 +44,31 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def local_rows(arr) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, host-side.
+
+    The inverse of `put_sharded` for host-side cache writes: under one
+    process it is a plain device_get; under many, `np.asarray(arr)` would
+    raise (the array spans non-addressable devices), so the process's
+    addressable shards are concatenated in batch order — matching the row
+    slice its pipeline shard loaded, so cache keys (computed from the
+    local batch) zip against exactly these rows.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    # Dedupe by row range: under model parallelism each row shard is
+    # replicated across the model axis, so multiple addressable shards
+    # cover the same rows.
+    by_start = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start if s.index[0].start is not None else 0
+        if start not in by_start:
+            by_start[start] = s.data
+    return np.concatenate(
+        [np.asarray(by_start[k]) for k in sorted(by_start)], axis=0
+    )
+
+
 def put_sharded(value, sharding):
     """Place a host array under `sharding`, multi-process aware.
 

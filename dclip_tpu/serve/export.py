@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
+from dclip_tpu.serve.service import _pad_rows  # one padding rule for live + exported paths
+
 _MANIFEST = "manifest.json"
 _PARAMS = "params.npz"
 _KEY_SEP = "//"  # path separator in params.npz keys ('/' can appear in names)
@@ -240,9 +242,3 @@ def load_exported(out_dir: str) -> ExportedEncoders:
     return ExportedEncoders(manifest, fns)
 
 
-def _pad_rows(a: np.ndarray, b: int) -> np.ndarray:
-    a = np.asarray(a)
-    if a.shape[0] == b:
-        return a
-    pad = np.zeros((b - a.shape[0],) + a.shape[1:], a.dtype)
-    return np.concatenate([a, pad], axis=0)

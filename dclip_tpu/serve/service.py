@@ -327,9 +327,17 @@ class ClipService:
     ) -> List[List[Tuple[str, float]]]:
         if self._index is None:
             raise RuntimeError("ClipService built without index_dim")
-        if len(self._index) == 0:
-            return [[] for _ in range(len(queries))]
-        keys = self._index.keys
+        # Snapshot under the lock: _pack() lazily (re)builds the packed
+        # matrix, and racing it against a concurrent add_to_index can
+        # publish a stale pack over the add's invalidation (lost update —
+        # newly indexed entries would stay invisible). The packed arrays
+        # themselves are immutable snapshots, so the device search below
+        # runs outside the lock.
+        with self._lock:
+            if len(self._index) == 0:
+                return [[] for _ in range(len(queries))]
+            keys = self._index.keys
+            ids = self._index.ids
         n = keys.shape[0]
         k_eff = min(k, n)
         if self._ndev > 1:
@@ -349,7 +357,6 @@ class ClipService:
                 jnp.asarray(queries, jnp.float32), jnp.asarray(keys), k_eff
             )
         scores, idx = np.asarray(scores), np.asarray(idx)
-        ids = self._index.ids
         return [
             [(ids[j], float(s)) for j, s in zip(row_i, row_s)]
             for row_i, row_s in zip(idx, scores)

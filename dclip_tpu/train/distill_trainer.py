@@ -41,7 +41,7 @@ from dclip_tpu.models.teacher import (
 )
 from dclip_tpu.ops.losses import distillation_loss
 from dclip_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
-from dclip_tpu.parallel.multihost import put_sharded
+from dclip_tpu.parallel.multihost import local_rows, put_sharded
 from dclip_tpu.train.base import BaseTrainer
 from dclip_tpu.train.optim import (
     TrainState,
@@ -623,7 +623,7 @@ class DistillTrainer(BaseTrainer):
             if pe is None:
                 pe = self._encode_patches_budgeted(raw_batch, device_batch)
                 if patch_keys is not None:
-                    self.teacher_cache.put_batch(patch_keys, np.asarray(pe))
+                    self.teacher_cache.put_batch(patch_keys, local_rows(pe))
             teacher_img, teacher_txt = self._teacher_tail_step(
                 self.teacher_clip_variables, self.teacher_params, pe, device_batch
             )
@@ -631,7 +631,7 @@ class DistillTrainer(BaseTrainer):
             self.teacher_cache.put_batch(
                 keys,
                 np.stack(
-                    [np.asarray(teacher_img), np.asarray(teacher_txt)], axis=1
+                    [local_rows(teacher_img), local_rows(teacher_txt)], axis=1
                 ),
             )
         return teacher_img, teacher_txt

@@ -31,6 +31,7 @@ from dclip_tpu.models.clip import CLIPModule
 from dclip_tpu.models.teacher import PatchTextAggregation, encode_tokens
 from dclip_tpu.ops.losses import info_nce
 from dclip_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
+from dclip_tpu.parallel.multihost import local_rows, put_sharded
 from dclip_tpu.train.base import BaseTrainer
 from dclip_tpu.train.optim import (
     TrainState,
@@ -213,8 +214,8 @@ class TeacherTrainer(BaseTrainer):
                 if cached is not None:
                     # f32 in the store; same dtype as the miss path so the
                     # loss jit never retraces on the first hit.
-                    return jax.device_put(
-                        jnp.asarray(
+                    return put_sharded(
+                        np.asarray(
                             cached, dtype=jnp.dtype(self.cfg.compute_dtype)
                         ),
                         self._batch_sharding,
@@ -229,7 +230,7 @@ class TeacherTrainer(BaseTrainer):
             pe, device_batch, self.cfg.teacher.similarity_threshold
         )
         if keys is not None:
-            self.pe_cache.put_batch(keys, np.asarray(pe))
+            self.pe_cache.put_batch(keys, local_rows(pe))
         return pe
 
     def train_step_on_batch(self, batch):
