@@ -20,6 +20,12 @@ def main() -> int:
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--global_batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=1)
+    ap.add_argument("--teacher_cache", action="store_true",
+                    help="in-memory TeacherTargetCache: step 0 misses and "
+                         "writes this process's rows (multihost.local_rows), "
+                         "step 1 hits and reassembles via put_sharded")
+    ap.add_argument("--mesh_model", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -107,14 +113,24 @@ def main() -> int:
         student_model="tiny",
         teacher_clip_model="tiny",
     )
-    mesh = make_mesh(MeshConfig())
+    from dclip_tpu.train.distill_trainer import TeacherTargetCache
+
+    mesh = make_mesh(MeshConfig(model_parallel=args.mesh_model))
+    cache = (
+        TeacherTargetCache(salt="mh-test") if args.teacher_cache else None
+    )
     trainer = DistillTrainer(
-        cfg, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=mesh
+        cfg, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=mesh,
+        teacher_cache=cache,
     )
     batch = next(iter(pipe.epoch(0)))
     assert batch.pixel_values.shape[0] == args.global_batch // shard_count
-    metrics = trainer.train_step_on_batch(batch)
+    for _ in range(args.steps):
+        metrics = trainer.train_step_on_batch(batch)
     loss = float(metrics["loss"])
+    if cache is not None:
+        # Step 0 must have populated the per-process rows.
+        assert len(cache._mem) >= args.global_batch // shard_count
     # Replicated param checksum: identical across processes iff the update
     # was computed from the same global batch everywhere.
     leaves = jax.tree_util.tree_leaves(jax.device_get(trainer.state.params))

@@ -105,10 +105,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_distill_step_matches_single_process(tmp_path):
-    """REAL 2-process jax.distributed run vs single-process, same corpus."""
-    corpus, items = _corpus(tmp_path, n=16)
+def _run_pair(corpus, extra_args):
     port = _free_port()
     env = {
         k: v for k, v in os.environ.items()
@@ -126,7 +123,7 @@ def test_two_process_distill_step_matches_single_process(tmp_path):
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
              "--pid", str(pid), "--coordinator", f"127.0.0.1:{port}",
-             "--corpus", corpus],
+             "--corpus", corpus, *extra_args],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for pid in (0, 1)
@@ -136,7 +133,30 @@ def test_two_process_distill_step_matches_single_process(tmp_path):
         out, err = p.communicate(timeout=420)
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         outs.append(json.loads(out.strip().splitlines()[-1]))
-    r0, r1 = sorted(outs, key=lambda r: r["pid"])
+    return sorted(outs, key=lambda r: r["pid"])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "extra_args,steps,use_cache,mesh_model",
+    [
+        ([], 1, False, 1),
+        # Two steps with the teacher-target cache: step 0 misses and
+        # writes this process's rows (multihost.local_rows), step 1 hits
+        # and reassembles the global targets via put_sharded.
+        (["--steps", "2", "--teacher_cache"], 2, True, 1),
+        # Data x model mesh: batch rows replicated across the model axis;
+        # local_rows/put_sharded must dedupe/assemble correctly.
+        (["--mesh_model", "2"], 1, False, 2),
+    ],
+    ids=["plain", "cache-hit", "dp-x-mp"],
+)
+def test_two_process_distill_step_matches_single_process(
+    tmp_path, extra_args, steps, use_cache, mesh_model
+):
+    """REAL 2-process jax.distributed run vs single-process, same corpus."""
+    corpus, items = _corpus(tmp_path, n=16)
+    r0, r1 = _run_pair(corpus, extra_args)
     # Both processes ran the SAME global computation.
     assert r0["loss"] == r1["loss"]
     assert r0["checksum"] == r1["checksum"]
@@ -188,11 +208,17 @@ def test_two_process_distill_step_matches_single_process(tmp_path):
         accumulate_grad_batches=1, teacher=teacher_cfg,
         student_model="tiny", teacher_clip_model="tiny",
     )
+    from dclip_tpu.train.distill_trainer import TeacherTargetCache
+
     devices = jax.devices("cpu")[:8]
     trainer = DistillTrainer(
         cfg, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg,
-        mesh=make_mesh(MeshConfig(), devices=devices),
+        mesh=make_mesh(
+            MeshConfig(model_parallel=mesh_model), devices=devices
+        ),
+        teacher_cache=TeacherTargetCache(salt="mh-test") if use_cache else None,
     )
     batch = next(iter(pipe.epoch(0)))
-    want = float(trainer.train_step_on_batch(batch)["loss"])
+    for _ in range(steps):
+        want = float(trainer.train_step_on_batch(batch)["loss"])
     np.testing.assert_allclose(r0["loss"], want, rtol=1e-5, atol=1e-6)
