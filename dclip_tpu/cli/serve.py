@@ -44,6 +44,13 @@ def build_service(args):
         args.tokenizer_dir, max_length=cfg.text.max_length
     )
     buckets = tuple(int(b) for b in args.buckets.split(","))
+    index = None
+    if getattr(args, "index_path", ""):
+        from dclip_tpu.data.embedding_store import EmbeddingStore
+
+        index = EmbeddingStore.load(args.index_path)
+        print(f"loaded index: {len(index)} entries, dim {index.dim}",
+              flush=True)
     mesh = None
     if getattr(args, "mesh_data", 1) != 1:
         from dclip_tpu.core.config import MeshConfig
@@ -55,6 +62,7 @@ def build_service(args):
         index_dim=args.index_dim if args.index_dim > 0 else None,
         quantize=args.quantize or None,
         mesh=mesh,
+        index=index,
     )
     return service
 
@@ -339,6 +347,10 @@ def main(argv=None) -> int:
                    help="linger for batching once a request is queued")
     p.add_argument("--index_dim", type=int, default=0,
                    help=">0 enables the retrieval index endpoints")
+    p.add_argument("--index_path", default="",
+                   help="preload a saved EmbeddingStore artifact "
+                        "(cli.build_index output) into the retrieval "
+                        "index at startup")
     p.add_argument("--mesh_data", type=int, default=1,
                    help="serve over a data-parallel device mesh of this "
                         "size (-1: all devices); encode batches shard "

@@ -52,6 +52,7 @@ class ClipService:
         index_dim: Optional[int] = None,
         quantize: Optional[str] = None,
         mesh=None,
+        index=None,
     ):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis. With >1
         device, encode batches shard over it (params replicated, outputs
@@ -176,7 +177,16 @@ class ClipService:
             )
 
         self._index = None
-        if index_dim is not None:
+        if index is not None:
+            # Preloaded store (e.g. a cli.build_index artifact via
+            # EmbeddingStore.load) — serve an existing corpus index
+            # instead of starting empty.
+            if index_dim is not None and index.dim != index_dim:
+                raise ValueError(
+                    f"index dim {index.dim} != index_dim {index_dim}"
+                )
+            self._index = index
+        elif index_dim is not None:
             from dclip_tpu.data.embedding_store import EmbeddingStore
 
             self._index = EmbeddingStore(dim=index_dim)

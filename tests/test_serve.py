@@ -414,6 +414,38 @@ def test_build_service_from_student_checkpoint(tiny_service, tmp_path):
     assert not np.allclose(served, original)  # checkpoint actually applied
 
 
+def test_service_preloaded_index_from_artifact(tiny_service, tmp_path):
+    """cli.serve --index_path: a cli.build_index EmbeddingStore artifact
+    serves immediately (no POST /v1/index/add bootstrap)."""
+    import argparse
+
+    from dclip_tpu.cli.serve import build_service
+    from dclip_tpu.data.embedding_store import EmbeddingStore
+
+    cfg, _, _, _, _ = tiny_service
+    store = EmbeddingStore(dim=cfg.projection_dim)
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(5, cfg.projection_dim).astype(np.float32)
+    for i, v in enumerate(vecs):
+        store.add(f"img_{i}", v)
+    path = str(tmp_path / "patch_index.npz")
+    store.save(path)
+
+    args = argparse.Namespace(
+        model_preset="tiny", clip_weights="random", tokenizer_dir="hash",
+        seed=0, student_checkpoint="", buckets="1,4", index_dim=0,
+        index_path=path, quantize="",
+    )
+    svc = build_service(args)
+    assert svc.index_size == 5
+    # Query with a stored key: top-1 must be its own id (keys are
+    # L2-normalized at add; search is inner-product).
+    q = vecs[3] / np.linalg.norm(vecs[3])
+    (hits,) = svc.search(q[None, :], k=2)
+    assert hits[0][0] == "img_3"
+    assert hits[0][1] > hits[1][1]
+
+
 def test_cli_export_dir_writes_loadable_artifact(tmp_path):
     """cli.serve --export_dir: one command emits the AOT artifact."""
     from dclip_tpu.cli.serve import main
