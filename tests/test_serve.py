@@ -369,6 +369,22 @@ def test_quantized_export_smaller_and_faithful(tiny_service, tmp_path):
     assert cos.min() > 0.99, cos
 
 
+def test_export_multi_platform_artifact(tiny_service, tmp_path):
+    """One artifact lowered for BOTH cpu and tpu loads and runs on cpu
+    (the deploy-anywhere story the export docstring promises)."""
+    cfg, model, variables, tok, _ = tiny_service
+    out = str(tmp_path / "multi")
+    export_encoders(model, variables, cfg, out, batch_sizes=(2,),
+                    platforms=("cpu", "tpu"), quantize="int8")
+    loaded = load_exported(out)
+    assert set(loaded.manifest["entries"][0]["platforms"]) == {"cpu", "tpu"}
+    ids, mask = tok.encode_batch(["a dog", "a cat"],
+                                 max_length=cfg.text.max_length)
+    emb = loaded.encode_texts_ids(ids, mask)
+    assert emb.shape == (2, cfg.projection_dim)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-4)
+
+
 # -- checkpoint -> serving flow ----------------------------------------------
 
 
