@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "float32", "bfloat16"],
                    help="bfloat16 enables the fused-block TPU eval path; "
                         "float32 (default) matches the reference numerics")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help=">1: shard the embedding forwards and the rank "
+                        "computation over a data-parallel device mesh of "
+                        "this size (-1: all devices); metrics are exact")
     add_model_args(p)
     return p
 
@@ -40,12 +44,23 @@ def main(argv=None) -> int:
     tokenizer = load_tokenizer(args.tokenizer_dir, cfg.text.max_length)
     items = load_eval_items(args.dataset_json, args.max_images)
     print(f"Evaluating on {len(items)} images")
+    mesh = None
+    if args.mesh_data != 1:
+        from dclip_tpu.core.config import MeshConfig
+        from dclip_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(MeshConfig(data_parallel=args.mesh_data))
+        if args.batch_size % mesh.shape["data"]:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must divide by the mesh "
+                f"data size {mesh.shape['data']}"
+            )
 
     results = {}
     if args.model in ("base", "both"):
         results["base"] = evaluate_retrieval(
             model, variables, tokenizer, items, args.batch_size,
-            cfg.vision.image_size,
+            cfg.vision.image_size, mesh=mesh,
         )
     if args.model in ("custom", "both"):
         if not args.checkpoint:
@@ -53,7 +68,7 @@ def main(argv=None) -> int:
         params = restore_student_params(args.checkpoint, variables["params"])
         results["custom"] = evaluate_retrieval(
             model, {"params": params}, tokenizer, items, args.batch_size,
-            cfg.vision.image_size,
+            cfg.vision.image_size, mesh=mesh,
         )
     print_retrieval_table(results)
     return 0

@@ -36,9 +36,11 @@ def embed_images(
     image_paths: Sequence[str],
     batch_size: int = 256,
     image_size: int = 224,
+    mesh=None,
 ) -> np.ndarray:
     """Decode+preprocess on host, embed in jitted batches. Pads the tail
-    batch to keep one compiled shape."""
+    batch to keep one compiled shape. With a mesh, batches shard over its
+    data axis (params replicated)."""
     from PIL import Image
 
     from dclip_tpu.data.pipeline import preprocess_image
@@ -51,7 +53,7 @@ def embed_images(
                 pixels.append(preprocess_image(im.convert("RGB"), image_size))
         except Exception:
             pixels.append(np.zeros((image_size, image_size, 3), np.float32))
-    return make_image_encoder(model, variables, batch_size)(pixels)
+    return make_image_encoder(model, variables, batch_size, mesh=mesh)(pixels)
 
 
 def embed_captions(
@@ -60,9 +62,16 @@ def embed_captions(
     tokenizer,
     captions: Sequence[str],
     batch_size: int = 256,
+    mesh=None,
 ) -> np.ndarray:
     from dclip_tpu.models.encoding import text_forward
 
+    in_sharding = None
+    if mesh is not None:
+        from dclip_tpu.parallel.mesh import batch_sharding, replicate_tree
+
+        variables = replicate_tree(variables, mesh)
+        in_sharding = batch_sharding(mesh)
     fwd = text_forward(model)  # memoized: repeat calls compile nothing
     out = []
     for start in range(0, len(captions), batch_size):
@@ -71,7 +80,12 @@ def embed_captions(
         if n < batch_size:
             chunk += [""] * (batch_size - n)
         ids, mask = tokenizer.encode_batch(chunk)
-        out.append(np.asarray(fwd(variables, jnp.asarray(ids), jnp.asarray(mask)))[:n])
+        if in_sharding is not None:
+            ids = jax.device_put(np.asarray(ids), in_sharding)
+            mask = jax.device_put(np.asarray(mask), in_sharding)
+        else:
+            ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        out.append(np.asarray(fwd(variables, ids, mask))[:n])
     return np.concatenate(out, 0)
 
 
@@ -82,8 +96,13 @@ def evaluate_retrieval(
     items: Sequence[dict],
     batch_size: int = 256,
     image_size: int = 224,
+    mesh=None,
 ) -> Dict[str, Dict[str, float]]:
-    """Full protocol on one model -> {"t2i": {...}, "i2t": {...}}."""
+    """Full protocol on one model -> {"t2i": {...}, "i2t": {...}}.
+
+    With a `mesh`, both the embedding forwards AND the rank computation
+    shard over its data axis (ops.retrieval.retrieval_metrics_sharded) —
+    the COCO-scale [25000, 5000] similarity work splits across chips."""
     image_paths = [it["image_path"] for it in items]
     captions: List[str] = []
     caption_to_image: List[int] = []
@@ -91,11 +110,23 @@ def evaluate_retrieval(
         for cap in it["captions"]:
             captions.append(cap)
             caption_to_image.append(idx)
-    img = embed_images(model, variables, image_paths, batch_size, image_size)
-    cap = embed_captions(model, variables, tokenizer, captions, batch_size)
-    metrics = retrieval_metrics(
-        jnp.asarray(cap), jnp.asarray(img), jnp.asarray(caption_to_image)
+    img = embed_images(
+        model, variables, image_paths, batch_size, image_size, mesh=mesh
     )
+    cap = embed_captions(
+        model, variables, tokenizer, captions, batch_size, mesh=mesh
+    )
+    if mesh is not None:
+        from dclip_tpu.ops.retrieval import retrieval_metrics_sharded
+
+        metrics = retrieval_metrics_sharded(
+            jnp.asarray(cap), jnp.asarray(img), jnp.asarray(caption_to_image),
+            mesh,
+        )
+    else:
+        metrics = retrieval_metrics(
+            jnp.asarray(cap), jnp.asarray(img), jnp.asarray(caption_to_image)
+        )
     return {
         d: {k: float(v) for k, v in dd.items()} for d, dd in metrics.items()
     }

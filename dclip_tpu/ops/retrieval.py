@@ -113,3 +113,82 @@ def retrieval_metrics(
         "t2i": recall_at_k(t2i_ranks(sim, caption_to_image)),
         "i2t": recall_at_k(i2t_ranks(sim, caption_to_image)),
     }
+
+
+def _recall_masked(
+    ranks: jnp.ndarray, valid: jnp.ndarray, ks: Sequence[int] = (1, 5, 10)
+) -> Dict[str, jnp.ndarray]:
+    """recall_at_k over the valid (non-padded) entries only."""
+    v = valid.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(v), 1.0)
+    out = {}
+    for k in ks:
+        out[f"R@{k}"] = jnp.sum((ranks < k).astype(jnp.float32) * v) / denom
+    out["MAP"] = jnp.sum(v / (ranks.astype(jnp.float32) + 1.0)) / denom
+    return out
+
+
+def retrieval_metrics_sharded(
+    caption_embeddings: jnp.ndarray,
+    image_embeddings: jnp.ndarray,
+    caption_to_image: jnp.ndarray,
+    mesh,
+    data_axis: str = "data",
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """retrieval_metrics with the [C, I] similarity work sharded over the
+    mesh data axis (the ICI-sharded eval from the north star).
+
+    Two self-contained passes, each keeping the REDUCED axis whole on
+    every device so ranks are exact with no cross-device rank math:
+      t2i — caption rows sharded, image embeddings replicated;
+      i2t — image rows sharded ([I, C] similarity), captions replicated.
+    Padded rows are masked out of the metric means. Bit-parity with the
+    single-device path is pinned in tests/test_retrieval.py.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    ndev = mesh.shape[data_axis]
+    rows = NamedSharding(mesh, PartitionSpec(data_axis))
+    rep = NamedSharding(mesh, PartitionSpec())
+    cap = jnp.asarray(caption_embeddings, jnp.float32)
+    img = jnp.asarray(image_embeddings, jnp.float32)
+    c2i = jnp.asarray(caption_to_image, jnp.int32)
+    n_cap, n_img = cap.shape[0], img.shape[0]
+    pad_c = (-n_cap) % ndev
+    pad_i = (-n_img) % ndev
+
+    # -- t2i: shard caption rows ------------------------------------------
+    cap_p = jax.device_put(jnp.pad(cap, ((0, pad_c), (0, 0))), rows)
+    c2i_p = jax.device_put(jnp.pad(c2i, (0, pad_c)), rows)
+    cap_valid = jax.device_put(
+        jnp.pad(jnp.ones((n_cap,), jnp.float32), (0, pad_c)), rows
+    )
+    img_r = jax.device_put(img, rep)
+    c2i_r = jax.device_put(c2i, rep)
+
+    @jax.jit
+    def _t2i(cap_p, img_r, c2i_p, valid):
+        ranks = t2i_ranks(similarity_matrix(cap_p, img_r), c2i_p)
+        return _recall_masked(ranks, valid)
+
+    # -- i2t: shard image rows of the transposed similarity ----------------
+    img_p = jax.device_put(jnp.pad(img, ((0, pad_i), (0, 0))), rows)
+    img_ids = jax.device_put(
+        jnp.pad(jnp.arange(n_img, dtype=jnp.int32), (0, pad_i),
+                constant_values=-1),
+        rows,
+    )
+    cap_r = jax.device_put(cap, rep)
+
+    @jax.jit
+    def _i2t(img_p, cap_r, c2i_r, img_ids):
+        sim_t = similarity_matrix(img_p, cap_r)  # [I_p, C]
+        ranks_all = _stable_ranks_all(sim_t)
+        is_gt = c2i_r[None, :] == img_ids[:, None]
+        ranks = jnp.min(jnp.where(is_gt, ranks_all, _INT_MAX), axis=-1)
+        return _recall_masked(ranks, (img_ids >= 0).astype(jnp.float32))
+
+    return {
+        "t2i": _t2i(cap_p, img_r, c2i_p, cap_valid),
+        "i2t": _i2t(img_p, cap_r, c2i_r, img_ids),
+    }

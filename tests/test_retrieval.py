@@ -89,3 +89,69 @@ def test_perfect_retrieval():
     assert float(got["t2i"]["R@1"]) == 1.0
     assert float(got["i2t"]["R@1"]) == 1.0
     assert float(got["i2t"]["MAP"]) == 1.0
+
+
+def test_sharded_metrics_bit_parity(cpu_devices):
+    """retrieval_metrics_sharded == retrieval_metrics on a CPU mesh, with
+    row counts NOT divisible by the mesh (pad rows masked) and with a
+    constant-similarity block so stable tie-breaking is exercised."""
+    from dclip_tpu.core.config import MeshConfig
+    from dclip_tpu.ops.retrieval import retrieval_metrics_sharded
+    from dclip_tpu.parallel.mesh import make_mesh
+
+    img, cap, cap_to_img = _setup(seed=3, n_images=13, caps_per_image=3)
+    cap[10:20] = cap[10]  # exact duplicate rows -> similarity ties
+    mesh = make_mesh(MeshConfig(data_parallel=4), devices=cpu_devices[:4])
+    want = retrieval_metrics(
+        jnp.asarray(cap), jnp.asarray(img), jnp.asarray(cap_to_img)
+    )
+    got = retrieval_metrics_sharded(
+        jnp.asarray(cap), jnp.asarray(img), jnp.asarray(cap_to_img), mesh
+    )
+    for d in ("t2i", "i2t"):
+        for k in ("R@1", "R@5", "R@10"):
+            # Ranks are exact, so recall fractions match bit-for-bit.
+            assert float(got[d][k]) == float(want[d][k]), (d, k)
+        # MAP sums reciprocals in a different (sharded) reduction order:
+        # equal to f32 roundoff, not bitwise.
+        np.testing.assert_allclose(
+            float(got[d]["MAP"]), float(want[d]["MAP"]), atol=1e-6
+        )
+
+
+def test_sharded_eval_end_to_end(cpu_devices, tmp_path):
+    """evaluate_retrieval(mesh=...) == evaluate_retrieval() through the
+    real embed paths on a tiny model."""
+    import jax
+
+    from PIL import Image
+
+    from dclip_tpu.core.config import CLIPConfig, MeshConfig
+    from dclip_tpu.data.tokenizer import HashTokenizer
+    from dclip_tpu.eval.retrieval import evaluate_retrieval
+    from dclip_tpu.models.clip import CLIPModule
+    from dclip_tpu.parallel.mesh import make_mesh
+
+    cfg = CLIPConfig.tiny_test()
+    model = CLIPModule(cfg)
+    rng = np.random.RandomState(5)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.ones((1, cfg.text.max_length), jnp.int32),
+        jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
+    )
+    items = []
+    for i in range(6):
+        p = str(tmp_path / f"e{i}.png")
+        Image.fromarray(rng.randint(0, 255, (40, 30, 3), np.uint8)).save(p)
+        items.append({"image_path": p, "image_id": i,
+                      "captions": [f"cap {i} a", f"cap {i} b"]})
+    tok = HashTokenizer(max_length=cfg.text.max_length)
+    mesh = make_mesh(MeshConfig(data_parallel=4), devices=cpu_devices[:4])
+    want = evaluate_retrieval(model, variables, tok, items, batch_size=4,
+                              image_size=cfg.vision.image_size)
+    got = evaluate_retrieval(model, variables, tok, items, batch_size=4,
+                             image_size=cfg.vision.image_size, mesh=mesh)
+    for d in ("t2i", "i2t"):
+        for k in ("R@1", "R@5", "R@10", "MAP"):
+            np.testing.assert_allclose(got[d][k], want[d][k], atol=1e-6), (d, k)
