@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 = faster TPU eval; float32 (default) "
                         "matches the reference numerics")
     p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help=">1: shard image batches over a data-parallel "
+                        "device mesh of this size (-1: all devices); "
+                        "accuracy is exact")
     p.add_argument("--results_file", default=None,
                    help="defaults to the reference filename for the dataset")
     p.add_argument("--classnames_file", default=None,
@@ -96,9 +100,16 @@ def main(argv=None) -> int:
         )
     prompt = CIFAR_PROMPT if args.dataset.startswith("cifar") else IMAGENET_PROMPT
 
+    mesh = None
+    if args.mesh_data != 1:
+        from dclip_tpu.core.config import MeshConfig
+        from dclip_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(MeshConfig(data_parallel=args.mesh_data))
+
     def run(vars_):
         text = embed_classnames(model, vars_, tokenizer, classnames, prompt)
-        return evaluate_zero_shot(model, vars_, text, batches())
+        return evaluate_zero_shot(model, vars_, text, batches(), mesh=mesh)
 
     results = {}
     if args.model in ("base", "both"):

@@ -63,10 +63,14 @@ def evaluate_zero_shot(
     text_features: jnp.ndarray,
     image_batches: Iterable[Tuple[np.ndarray, np.ndarray]],
     log_every: int = 50,
+    mesh=None,
 ) -> Dict[str, float]:
     """Stream (pixels [B,H,W,3] CLIP-normalized, labels [B]) batches.
 
     Returns {"top1": acc, "top5": acc} like the reference (:117-125).
+    With a `mesh`, image batches shard over its data axis (params and
+    text features replicated) — accuracy is exact, only the forward
+    splits across chips. Batches must then divide the data-axis size.
     """
 
     from dclip_tpu.models.encoding import zero_shot_logits_forward
@@ -74,10 +78,29 @@ def evaluate_zero_shot(
     # text_features is a jit ARGUMENT (not a closure): one compile serves
     # CIFAR-10/100/ImageNet back-to-back for the same model.
     logits_fn = zero_shot_logits_forward(model)
+    in_sharding = None
+    if mesh is not None:
+        from dclip_tpu.parallel.mesh import batch_sharding, replicate_tree
 
+        variables = replicate_tree(variables, mesh)
+        text_features = replicate_tree(text_features, mesh)
+        in_sharding = batch_sharding(mesh)
+
+    ndev = 1 if mesh is None else int(mesh.devices.size)
     correct1 = correct5 = total = 0
     for step, (pixels, labels) in enumerate(image_batches):
-        logits = logits_fn(variables, jnp.asarray(pixels), text_features)
+        n = len(labels)
+        if in_sharding is not None:
+            pixels = np.asarray(pixels)
+            pad = (-pixels.shape[0]) % ndev  # ragged tail batches
+            if pad:
+                pixels = np.concatenate(
+                    [pixels, np.zeros((pad,) + pixels.shape[1:], pixels.dtype)]
+                )
+            pixels = jax.device_put(pixels, in_sharding)
+        else:
+            pixels = jnp.asarray(pixels)
+        logits = logits_fn(variables, pixels, text_features)[:n]
         _, top5 = jax.lax.top_k(logits, min(5, logits.shape[-1]))
         top5 = np.asarray(top5)
         labels = np.asarray(labels)

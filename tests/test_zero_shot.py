@@ -216,3 +216,35 @@ def test_imagenet_scale_shapes(tmp_path):
         seen.extend(labels.tolist())
     assert shapes == [50, 50, 20]  # ragged tail preserved, no padding dupes
     assert seen == list(range(120))  # sorted class order end-to-end
+
+
+def test_evaluate_zero_shot_sharded_matches(cpu_devices):
+    """mesh=... shards the image batches (with ragged-tail padding) and
+    must reproduce the single-device accuracies exactly."""
+    from dclip_tpu.core.config import CLIPConfig, MeshConfig
+    from dclip_tpu.models.clip import CLIPModule
+    from dclip_tpu.parallel.mesh import make_mesh
+
+    cfg = CLIPConfig.tiny_test()
+    model = CLIPModule(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.ones((1, cfg.text.max_length), jnp.int32),
+        jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
+    )
+    rng = np.random.RandomState(4)
+    n, ncls = 22, 5  # 22 images -> ragged tail under batch 8
+    text_features = jnp.asarray(rng.randn(ncls, cfg.projection_dim).astype(np.float32))
+    pixels = rng.randn(n, cfg.vision.image_size, cfg.vision.image_size, 3).astype(np.float32)
+    labels = rng.randint(0, ncls, n)
+
+    def batches():
+        for s in range(0, n, 8):
+            yield pixels[s : s + 8], labels[s : s + 8]
+
+    want = evaluate_zero_shot(model, variables, text_features, batches(),
+                              log_every=0)
+    mesh = make_mesh(MeshConfig(data_parallel=4), devices=cpu_devices[:4])
+    got = evaluate_zero_shot(model, variables, text_features, batches(),
+                             log_every=0, mesh=mesh)
+    assert got == want
