@@ -176,6 +176,48 @@ def test_service_search_returns_indexed_neighbor(tiny_service):
     assert service.search(np.zeros((0, cfg.projection_dim)), k=2) == []
 
 
+def test_search_sees_concurrent_adds(tiny_service):
+    """Regression for the search/add race: search() snapshots the packed
+    index under the service lock, so a search racing an add can never
+    publish a stale pack over the add's invalidation (which would hide
+    every later-added entry until the next add)."""
+    cfg, model, variables, tok, _ = tiny_service
+    svc = ClipService(model, variables, cfg, tokenizer=tok, buckets=(1, 4),
+                      index_dim=cfg.projection_dim)
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, cfg.projection_dim).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    errors = []
+
+    def adder():
+        try:
+            for i in range(40):
+                svc.add_to_index([f"v{i}"], vecs[i : i + 1])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def searcher():
+        try:
+            for _ in range(60):
+                if svc.index_size:
+                    svc.search(vecs[:2], k=1)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=adder)] + [
+        threading.Thread(target=searcher) for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # Every add must be visible to a post-race search.
+    assert svc.index_size == 40
+    (hits,) = svc.search(vecs[39:40], k=1)
+    assert hits[0][0] == "v39"
+
+
 def test_service_empty_inputs(tiny_service):
     cfg, _, _, _, service = tiny_service
     assert service.encode_texts([]).shape == (0, cfg.projection_dim)
