@@ -72,6 +72,8 @@ def embed_captions(
 
         variables = replicate_tree(variables, mesh)
         in_sharding = batch_sharding(mesh)
+    else:
+        variables = jax.device_put(variables)  # once, not per jit call
     fwd = text_forward(model)  # memoized: repeat calls compile nothing
     out = []
     for start in range(0, len(captions), batch_size):

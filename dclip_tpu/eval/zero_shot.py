@@ -85,6 +85,9 @@ def evaluate_zero_shot(
         variables = replicate_tree(variables, mesh)
         text_features = replicate_tree(text_features, mesh)
         in_sharding = batch_sharding(mesh)
+    else:
+        variables = jax.device_put(variables)  # once, not per jit call
+        text_features = jax.device_put(text_features)
 
     ndev = 1 if mesh is None else int(mesh.devices.size)
     correct1 = correct5 = total = 0

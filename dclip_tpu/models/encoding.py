@@ -96,6 +96,10 @@ def make_image_encoder(
                 f"batch_size {batch_size}"
             )
     else:
+        # Device-commit once: hf_import returns host numpy, and jit
+        # re-transfers numpy args on every call — a full-weight H2D per
+        # batch otherwise (devastating through a tunneled chip).
+        variables = jax.device_put(variables)
         in_sharding = None
     if fused is None:
         from dclip_tpu.core.platform import default_is_tpu

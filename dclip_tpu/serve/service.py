@@ -170,6 +170,11 @@ class ClipService:
                 self._make_sharded_knn(mesh), static_argnums=(3,)
             )
         else:
+            # Device-commit the weights ONCE: variables arrive as host
+            # numpy (hf_import/safetensors, host_random_variables,
+            # quantize_clip), and jit re-transfers numpy args on EVERY
+            # call — a full-weight H2D per request batch otherwise.
+            self.variables = variables = jax.device_put(variables)
             self._text_jit = jax.jit(_text_fn)
             self._image_jit = jax.jit(_image_u8_fn)
             self._search_jit = jax.jit(

@@ -218,6 +218,22 @@ def test_search_sees_concurrent_adds(tiny_service):
     assert hits[0][0] == "v39"
 
 
+def test_service_weights_device_committed(tiny_service):
+    """Host-numpy weight trees (hf_import / quantize_clip output) must be
+    device_put ONCE at construction — jit re-transfers numpy arguments on
+    every call, i.e. a full-weight H2D per request batch."""
+    import jax
+
+    cfg, model, variables, tok, _ = tiny_service
+    host_vars = jax.tree_util.tree_map(np.asarray, variables)
+    for q in (None, "int8"):
+        svc = ClipService(model, host_vars, cfg, tokenizer=tok,
+                          buckets=(1, 4), quantize=q)
+        leaves = jax.tree_util.tree_leaves(svc.variables)
+        assert leaves and all(isinstance(x, jax.Array) for x in leaves), q
+        svc.encode_texts(["warm"])  # still serves
+
+
 def test_service_empty_inputs(tiny_service):
     cfg, _, _, _, service = tiny_service
     assert service.encode_texts([]).shape == (0, cfg.projection_dim)
