@@ -79,9 +79,11 @@ def main(argv=None) -> int:
         if args.detector_checkpoint:
             import flax.serialization
 
+            import jax
+
             with open(args.detector_checkpoint, "rb") as f:
-                det.variables = flax.serialization.from_bytes(
-                    det.variables, f.read()
+                det.variables = jax.device_put(
+                    flax.serialization.from_bytes(det.variables, f.read())
                 )
         detect_fn = det.as_detect_fn()
     else:

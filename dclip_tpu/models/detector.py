@@ -301,7 +301,9 @@ class Detector:
     def __init__(self, cfg: DetectorConfig, variables: Dict[str, Any]):
         self.cfg = cfg
         self.model = FlaxYOLO(cfg)
-        self.variables = variables
+        # Device-commit once: importer variables are host numpy, and jit
+        # re-transfers numpy args on every detect() call.
+        self.variables = jax.device_put(variables)
 
         @jax.jit
         def _detect(variables, images):

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, NamedTuple, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,7 +43,9 @@ class RegionTokenizer:
         patch_size: int = 224,
     ):
         self.clip_model = clip_model
-        self.clip_variables = clip_variables
+        # Device-commit once (hf_import yields host numpy; jit re-transfers
+        # numpy args on every batch_tokenize call).
+        self.clip_variables = jax.device_put(clip_variables)
         self.similarity_threshold = similarity_threshold
         self.top_k = top_k
         self.patch_size = patch_size
