@@ -112,6 +112,15 @@ def evaluate_retrieval(
         for cap in it["captions"]:
             captions.append(cap)
             caption_to_image.append(idx)
+    # Commit the weight tree ONCE here: embed_images and embed_captions
+    # each device_put/replicate their `variables`, which is a no-op on an
+    # already-committed tree but a second full H2D on a host-numpy one.
+    if mesh is None:
+        variables = jax.device_put(variables)
+    else:
+        from dclip_tpu.parallel.mesh import replicate_tree
+
+        variables = replicate_tree(variables, mesh)
     img = embed_images(
         model, variables, image_paths, batch_size, image_size, mesh=mesh
     )

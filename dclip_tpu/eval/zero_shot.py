@@ -89,7 +89,10 @@ def evaluate_zero_shot(
         variables = jax.device_put(variables)  # once, not per jit call
         text_features = jax.device_put(text_features)
 
-    ndev = 1 if mesh is None else int(mesh.devices.size)
+    # Pad to the DATA-axis size: batch_sharding only splits over "data",
+    # so padding to the total device count would add wasted rows (and an
+    # extra compiled shape) on data x model meshes.
+    ndev = 1 if mesh is None else int(mesh.shape.get("data", mesh.devices.size))
     correct1 = correct5 = total = 0
     for step, (pixels, labels) in enumerate(image_batches):
         n = len(labels)

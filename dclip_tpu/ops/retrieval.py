@@ -128,12 +128,33 @@ def _recall_masked(
     return out
 
 
+# Module-level jits (fresh per-call jax.jit wrappers would re-trace and,
+# on a tunneled chip, re-compile on every invocation — same rationale as
+# models/encoding._JIT_FORWARDS).
+
+
+@jax.jit
+def _t2i_sharded_metrics(cap_p, img_r, c2i_p, valid):
+    ranks = t2i_ranks(similarity_matrix(cap_p, img_r), c2i_p)
+    return _recall_masked(ranks, valid)
+
+
+@jax.jit
+def _i2t_chunk_ranks(img_chunk, cap_r, c2i_r, ids_chunk):
+    """Min stable rank over each chunk image's gt captions: [R] ranks."""
+    sim_t = similarity_matrix(img_chunk, cap_r)  # [R, C]
+    ranks_all = _stable_ranks_all(sim_t)
+    is_gt = c2i_r[None, :] == ids_chunk[:, None]
+    return jnp.min(jnp.where(is_gt, ranks_all, _INT_MAX), axis=-1)
+
+
 def retrieval_metrics_sharded(
     caption_embeddings: jnp.ndarray,
     image_embeddings: jnp.ndarray,
     caption_to_image: jnp.ndarray,
     mesh,
     data_axis: str = "data",
+    i2t_chunk: int = 512,
 ) -> Dict[str, Dict[str, jnp.ndarray]]:
     """retrieval_metrics with the [C, I] similarity work sharded over the
     mesh data axis (the ICI-sharded eval from the north star).
@@ -141,10 +162,14 @@ def retrieval_metrics_sharded(
     Two self-contained passes, each keeping the REDUCED axis whole on
     every device so ranks are exact with no cross-device rank math:
       t2i — caption rows sharded, image embeddings replicated;
-      i2t — image rows sharded ([I, C] similarity), captions replicated.
+      i2t — image rows sharded ([I, C] similarity), captions replicated,
+            processed in chunks of `i2t_chunk` rows per device so peak
+            memory stays [chunk, C] (mirroring i2t_ranks' scan).
     Padded rows are masked out of the metric means. Bit-parity with the
     single-device path is pinned in tests/test_retrieval.py.
     """
+    import numpy as np
+
     from jax.sharding import NamedSharding, PartitionSpec
 
     ndev = mesh.shape[data_axis]
@@ -155,7 +180,6 @@ def retrieval_metrics_sharded(
     c2i = jnp.asarray(caption_to_image, jnp.int32)
     n_cap, n_img = cap.shape[0], img.shape[0]
     pad_c = (-n_cap) % ndev
-    pad_i = (-n_img) % ndev
 
     # -- t2i: shard caption rows ------------------------------------------
     cap_p = jax.device_put(jnp.pad(cap, ((0, pad_c), (0, 0))), rows)
@@ -165,30 +189,23 @@ def retrieval_metrics_sharded(
     )
     img_r = jax.device_put(img, rep)
     c2i_r = jax.device_put(c2i, rep)
+    t2i = _t2i_sharded_metrics(cap_p, img_r, c2i_p, cap_valid)
 
-    @jax.jit
-    def _t2i(cap_p, img_r, c2i_p, valid):
-        ranks = t2i_ranks(similarity_matrix(cap_p, img_r), c2i_p)
-        return _recall_masked(ranks, valid)
-
-    # -- i2t: shard image rows of the transposed similarity ----------------
-    img_p = jax.device_put(jnp.pad(img, ((0, pad_i), (0, 0))), rows)
-    img_ids = jax.device_put(
-        jnp.pad(jnp.arange(n_img, dtype=jnp.int32), (0, pad_i),
-                constant_values=-1),
-        rows,
+    # -- i2t: image rows sharded, host-chunked ------------------------------
+    rows_per_step = i2t_chunk * ndev
+    pad_i = (-n_img) % rows_per_step
+    img_p = np.asarray(jnp.pad(img, ((0, pad_i), (0, 0))))
+    ids_p = np.pad(
+        np.arange(n_img, dtype=np.int32), (0, pad_i), constant_values=-1
     )
     cap_r = jax.device_put(cap, rep)
-
-    @jax.jit
-    def _i2t(img_p, cap_r, c2i_r, img_ids):
-        sim_t = similarity_matrix(img_p, cap_r)  # [I_p, C]
-        ranks_all = _stable_ranks_all(sim_t)
-        is_gt = c2i_r[None, :] == img_ids[:, None]
-        ranks = jnp.min(jnp.where(is_gt, ranks_all, _INT_MAX), axis=-1)
-        return _recall_masked(ranks, (img_ids >= 0).astype(jnp.float32))
-
-    return {
-        "t2i": _t2i(cap_p, img_r, c2i_p, cap_valid),
-        "i2t": _i2t(img_p, cap_r, c2i_r, img_ids),
-    }
+    ranks_chunks = []
+    for start in range(0, img_p.shape[0], rows_per_step):
+        chunk = jax.device_put(img_p[start : start + rows_per_step], rows)
+        ids_chunk = jax.device_put(ids_p[start : start + rows_per_step], rows)
+        ranks_chunks.append(
+            np.asarray(_i2t_chunk_ranks(chunk, cap_r, c2i_r, ids_chunk))
+        )
+    ranks = jnp.asarray(np.concatenate(ranks_chunks)[:n_img])
+    i2t = recall_at_k(ranks)
+    return {"t2i": t2i, "i2t": i2t}

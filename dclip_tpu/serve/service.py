@@ -190,6 +190,14 @@ class ClipService:
                 raise ValueError(
                     f"index dim {index.dim} != index_dim {index_dim}"
                 )
+            if index_dim is None and index.dim != cfg.projection_dim:
+                # Fail at startup, not with an XLA shape error on the
+                # first search: queries come from THIS model's encoders.
+                raise ValueError(
+                    f"preloaded index dim {index.dim} != model projection "
+                    f"dim {cfg.projection_dim}; was it built with a "
+                    f"different preset?"
+                )
             self._index = index
         elif index_dim is not None:
             from dclip_tpu.data.embedding_store import EmbeddingStore

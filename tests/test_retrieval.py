@@ -106,7 +106,8 @@ def test_sharded_metrics_bit_parity(cpu_devices):
         jnp.asarray(cap), jnp.asarray(img), jnp.asarray(cap_to_img)
     )
     got = retrieval_metrics_sharded(
-        jnp.asarray(cap), jnp.asarray(img), jnp.asarray(cap_to_img), mesh
+        jnp.asarray(cap), jnp.asarray(img), jnp.asarray(cap_to_img), mesh,
+        i2t_chunk=2,  # 13 images -> two host chunks + a padded tail
     )
     for d in ("t2i", "i2t"):
         for k in ("R@1", "R@5", "R@10"):

@@ -520,6 +520,17 @@ def test_service_preloaded_index_from_artifact(tiny_service, tmp_path):
     assert hits[0][1] > hits[1][1]
 
 
+def test_service_rejects_mismatched_preloaded_index(tiny_service):
+    from dclip_tpu.data.embedding_store import EmbeddingStore
+
+    cfg, model, variables, tok, _ = tiny_service
+    store = EmbeddingStore(dim=cfg.projection_dim + 8)
+    store.add("x", np.ones(cfg.projection_dim + 8, np.float32))
+    with pytest.raises(ValueError, match="projection"):
+        ClipService(model, variables, cfg, tokenizer=tok, buckets=(1,),
+                    index=store)
+
+
 def test_cli_export_dir_writes_loadable_artifact(tmp_path):
     """cli.serve --export_dir: one command emits the AOT artifact."""
     from dclip_tpu.cli.serve import main
