@@ -16,7 +16,6 @@ stable ids in a configurable vocab — same interface, no files.
 from __future__ import annotations
 
 import gzip
-import html
 import json
 import os
 from functools import lru_cache
@@ -59,6 +58,62 @@ def _get_pairs(word: Tuple[str, ...]):
 
 def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
+
+
+try:  # pragma: no cover - environment-dependent, mirrors HF's dispatch
+    import ftfy as _ftfy
+except ImportError:
+    _ftfy = None
+
+# transformers.BasicTokenizer's CJK ranges (tokenize_chinese_chars).
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x20000, 0x2A6DF),
+    (0x2A700, 0x2B73F), (0x2B740, 0x2B81F), (0x2B820, 0x2CEAF),
+    (0xF900, 0xFAFF), (0x2F800, 0x2FA1F),
+)
+
+
+def _is_cjk(cp: int) -> bool:
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
+
+
+def _basic_clean_tokenize(text: str) -> str:
+    """transformers.BasicTokenizer(strip_accents=False,
+    do_split_on_punc=False) semantics, which HF's CLIPTokenizer applies
+    when ftfy is NOT installed: drop NUL/replacement/control+format
+    chars, normalize whitespace, space out CJK chars (each becomes its
+    own regex word, so it gets its own </w>), NFC, lowercase."""
+    import unicodedata
+
+    out = []
+    for ch in text:
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD:
+            continue
+        if ch in ("\t", "\n", "\r"):
+            out.append(" ")
+            continue
+        cat = unicodedata.category(ch)
+        if cat.startswith("C"):
+            continue  # control/format (incl. zero-width space)
+        if cat == "Zs":
+            out.append(" ")
+            continue
+        if _is_cjk(cp):
+            out.extend((" ", ch, " "))
+        else:
+            out.append(ch)
+    text = unicodedata.normalize("NFC", "".join(out))
+    return " ".join(t.lower() for t in text.split())
+
+
+def _clip_normalize(text: str) -> str:
+    """The exact text cleanup HF's CLIPTokenizer applies before the BPE
+    regex — which depends on whether ftfy is installed (same dispatch as
+    transformers.CLIPTokenizer.__init__, for id parity either way)."""
+    if _ftfy is not None:  # pragma: no cover - ftfy absent in CI image
+        return _whitespace_clean(_ftfy.fix_text(text)).lower()
+    return _basic_clean_tokenize(text)
 
 
 class CLIPTokenizer:
@@ -171,7 +226,7 @@ class CLIPTokenizer:
 
     def tokenize(self, text: str) -> List[int]:
         """Text -> BPE ids (no special tokens, no truncation)."""
-        text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
+        text = _clip_normalize(text)
         ids: List[int] = []
         for token in re.findall(self.PAT, text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))

@@ -132,3 +132,34 @@ def test_gz_merges_truncation_matches_openai(tmp_path):
     vocab_file.write_text(json.dumps(vocab))
     tok = CLIPTokenizer.from_files(str(vocab_file), str(merges_file))
     assert len(tok.bpe_ranks) == 49152 - 256 - 2  # 48,894 — not 48,895
+
+
+@pytest.mark.slow
+def test_fuzz_parity_with_hf_clip_tokenizer(tmp_path):
+    """Property fuzz: 150 random strings over a hostile character pool
+    (unicode, emoji, CJK, mixed whitespace, punctuation runs) must encode
+    id-identically to transformers.CLIPTokenizer. Bit-comparable eval
+    numbers (BASELINE.md) depend on this holding for arbitrary captions."""
+    import random
+
+    transformers = pytest.importorskip("transformers")
+    vocab_file, merges_file = _tiny_vocab_files(tmp_path)
+    hf = transformers.CLIPTokenizer(vocab_file=vocab_file,
+                                    merges_file=merges_file)
+    ours = CLIPTokenizer.from_files(vocab_file, merges_file, max_length=77)
+    pool = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " \t\n  .,!?;:'\"-()[]/&%$#@*+=<>"
+        "àéîöüñçßøæœ"
+        "日本語中文한국어"
+        "🙂🚀🐈"
+        "​ "  # zero-width space, nbsp
+    )
+    rng = random.Random(42)
+    for i in range(150):
+        n = rng.randint(0, 40)
+        text = "".join(rng.choice(pool) for _ in range(n))
+        want = hf(text, padding="max_length", max_length=77, truncation=True)
+        ids, mask = ours.encode(text)
+        assert ids.tolist() == want["input_ids"], (i, repr(text))
+        assert mask.tolist() == want["attention_mask"], (i, repr(text))
