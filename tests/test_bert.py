@@ -189,3 +189,35 @@ def test_bert_text_branch_end_to_end(tmp_path, bert_pair):
     )
     assert out.shape == (len(texts), clip_dim)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.slow
+def test_wordpiece_fuzz_parity_with_hf(tmp_path):
+    """Property fuzz vs transformers.BertTokenizer over a hostile pool
+    (unicode, CJK, zero-width/nbsp, punctuation runs) — same guarantee
+    the CLIP BPE fuzz pins in tests/test_tokenizer.py."""
+    import random
+
+    import transformers
+
+    from dclip_tpu.data.bert_tokenizer import BertWordPieceTokenizer
+
+    vf = _vocab_file(tmp_path)
+    hf = transformers.BertTokenizer(vocab_file=vf, do_lower_case=True)
+    ours = BertWordPieceTokenizer.from_vocab_file(vf, max_length=16)
+    pool = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " \t\n  .,!?;:'\"-()[]/&%$#@*+=<>"
+        "àéîöüñçß"
+        "中国日本語한국"
+        "🙂🚀"
+        "​ "  # zero-width space, nbsp
+    )
+    rng = random.Random(7)
+    for i in range(150):
+        n = rng.randint(0, 40)
+        text = "".join(rng.choice(pool) for _ in range(n))
+        want = hf(text, padding="max_length", truncation=True, max_length=16)
+        ids, mask = ours.encode(text)
+        assert list(ids) == want["input_ids"], (i, repr(text))
+        assert list(mask) == want["attention_mask"], (i, repr(text))
