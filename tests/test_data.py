@@ -316,6 +316,31 @@ def test_preprocess_matches_hf_clip_processor(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_preprocess_fuzz_matches_hf_clip_processor():
+    """Property fuzz: HF-resize/crop parity across hostile geometries —
+    tiny frames, extreme aspect ratios, sizes straddling the crop."""
+    transformers = pytest.importorskip("transformers")
+    from PIL import Image
+
+    from dclip_tpu.data.pipeline import preprocess_image
+
+    hf = transformers.CLIPImageProcessor()
+    rng = np.random.RandomState(1)
+    # Dims <= 3 are excluded: HF's processor mis-infers the channel
+    # dimension on them (its own limitation, not a parity case).
+    sizes = [
+        (4, 4), (4, 500), (500, 4), (223, 224), (224, 223), (225, 226),
+        (224, 224), (37, 1031), (640, 480), (4, 7),
+    ] + [tuple(rng.randint(4, 700, 2)) for _ in range(8)]
+    for h, w in sizes:
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        im = Image.fromarray(arr)
+        want = hf(im, return_tensors="np")["pixel_values"][0].transpose(1, 2, 0)
+        got = preprocess_image(im, 224)
+        np.testing.assert_allclose(got, want, atol=1e-4, err_msg=f"{(h, w)}")
+
+
 def test_pipeline_producer_errors_propagate(tiny_corpus):
     """A broken record must raise in the consumer, not silently truncate."""
     broken = list(tiny_corpus) + [{"captions": ["no image_path key"]}]
