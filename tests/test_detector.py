@@ -51,6 +51,30 @@ def test_nms_matches_numpy_reference():
     assert got == want
 
 
+def test_nms_fuzz_matches_numpy_reference():
+    """20 random configurations incl. duplicate boxes (score ties resolved
+    by order), degenerate zero-area boxes, and varying thresholds."""
+    rng = np.random.RandomState(3)
+    for case in range(20):
+        n = int(rng.randint(1, 50))
+        centers = rng.rand(n, 2) * 60
+        sizes = rng.rand(n, 2) * 25
+        boxes = np.concatenate(
+            [centers - sizes / 2, centers + sizes / 2], 1
+        ).astype(np.float32)
+        if n > 3:
+            boxes[1] = boxes[0]  # exact duplicate
+            boxes[2, 2:] = boxes[2, :2]  # zero-area
+        scores = rng.rand(n).astype(np.float32)
+        iou_th = float(rng.choice([0.3, 0.5, 0.7]))
+        score_th = float(rng.choice([0.0, 0.2, 0.5]))
+        res = nms(jnp.asarray(boxes), jnp.asarray(scores), iou_th, score_th,
+                  max_outputs=n)
+        want = _numpy_nms(boxes, scores, iou_th, score_th)
+        got = [int(i) for i in np.asarray(res.indices) if i >= 0]
+        assert got == want, (case, n, iou_th, score_th)
+
+
 def test_nms_budget_and_padding():
     boxes = jnp.asarray([[0, 0, 10, 10]] * 3 + [[50, 50, 60, 60]], jnp.float32)
     scores = jnp.asarray([0.9, 0.8, 0.7, 0.6])
