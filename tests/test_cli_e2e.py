@@ -138,3 +138,16 @@ def test_tune_gate_cli(workspace, monkeypatch, capsys):
     assert len(rows) == 3
     fracs = [float(r[1]) for r in rows]
     assert fracs[0] >= fracs[1] >= fracs[2]
+
+
+def test_doctor_collect_fast():
+    """cli.doctor: environment diagnosis returns the full key set and
+    ok=True on a healthy backend."""
+    from dclip_tpu.cli.doctor import collect
+
+    info = collect(fast=True)
+    assert info["ok"] is True
+    for key in ("versions", "backend", "devices", "process",
+                "matmul_smoke", "native_runtime"):
+        assert key in info, key
+    assert info["devices"]["count"] >= 1
