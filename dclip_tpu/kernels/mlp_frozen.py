@@ -46,7 +46,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dclip_tpu.kernels.vit_block import (
-    _VMEM_BUDGET,
     _layer_norm,
     _mlp_kernel,
     _quick_gelu,
