@@ -136,10 +136,22 @@ def load_teacher_params(path, teacher_cfg, clip_cfg, seed):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.multihost:
+        import os as _os
+
         import jax
 
         # Must run before the first backend touch (load_clip compiles).
-        jax.distributed.initialize()
+        # On TPU pods the argless form auto-discovers the topology; off-pod
+        # (tests, custom clusters) the DCLIP_COORDINATOR/_NUM_PROCESSES/
+        # _PROCESS_ID env triple spells it out.
+        if _os.environ.get("DCLIP_COORDINATOR"):
+            jax.distributed.initialize(
+                coordinator_address=_os.environ["DCLIP_COORDINATOR"],
+                num_processes=int(_os.environ["DCLIP_NUM_PROCESSES"]),
+                process_id=int(_os.environ["DCLIP_PROCESS_ID"]),
+            )
+        else:
+            jax.distributed.initialize()
     teacher_clip_cfg, _, teacher_clip_vars = load_clip(
         args.model_preset, args.clip_weights, args.seed
     )

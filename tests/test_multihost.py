@@ -222,3 +222,57 @@ def test_two_process_distill_step_matches_single_process(
     for _ in range(steps):
         want = float(trainer.train_step_on_batch(batch)["loss"])
     np.testing.assert_allclose(r0["loss"], want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_multihost_cli_train_distill(tmp_path):
+    """The full `cli.train_distill --multihost` path across 2 real
+    processes: jax.distributed init (env triple), per-process pipeline
+    sharding, and checkpoint/metrics writes on process 0 only."""
+    from PIL import Image
+
+    rng = np.random.RandomState(2)
+    items = []
+    for i in range(10):
+        p = str(tmp_path / f"c{i}.png")
+        Image.fromarray(rng.randint(0, 255, (36, 28, 3), np.uint8)).save(p)
+        items.append({"image_path": p, "captions": [f"thing {i}"],
+                      "dataset": "t", "boxes": []})
+    train = tmp_path / "mh_train.json"
+    train.write_text(json.dumps(items))
+    ckpt_dir = tmp_path / "ckpts"
+    port = _free_port()
+    procs = []
+    for pid in (0, 1):
+        env = {
+            k: v for k, v in os.environ.items()
+            if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
+        }
+        env.update({
+            "PYTHONPATH": REPO,
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "DCLIP_COORDINATOR": f"127.0.0.1:{port}",
+            "DCLIP_NUM_PROCESSES": "2",
+            "DCLIP_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "dclip_tpu.cli.train_distill",
+             "--multihost", "--train_file", str(train),
+             "--train_batch_size", "8", "--phase1_epochs", "1",
+             "--checkpoint_dir", str(ckpt_dir),
+             "--metrics_csv", str(tmp_path / f"metrics_{pid}.csv"),
+             "--teacher_image_size", "32", "--max_patches", "2",
+             "--model_preset", "tiny"],
+            env=env, cwd=str(tmp_path),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    for pid, p in enumerate(procs):
+        out, err = p.communicate(timeout=560)
+        assert p.returncode == 0, f"p{pid} failed:\n{err[-4000:]}"
+    # Checkpoints written exactly once (process 0).
+    ckpts = [f for f in os.listdir(ckpt_dir) if f.endswith(".msgpack")]
+    assert ckpts, os.listdir(ckpt_dir)
+    # Process 1's logger/checkpoints are gated off (is_primary): its
+    # metrics CSV must not exist even as an empty file.
+    assert not os.path.exists(tmp_path / "metrics_1.csv")
