@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="opt-in trainable fused MLP kernels for the text "
                         "stack (measured slower than XLA on v5e at CLIP "
                         "text shapes; see kernels/mlp_trainable.py)")
+    p.add_argument("--tiled_frozen_mlp", action="store_true",
+                   help="opt-in tiled weight-streaming frozen-MLP pair for "
+                        "VMEM-overflowing shapes like ViT-L/14 (measured "
+                        "slower than XLA there on v5e; see "
+                        "kernels/mlp_frozen.py)")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint encoder layers (memory for FLOPs)")
     p.add_argument("--unfreeze_text_at_epoch", type=int, default=None,
@@ -202,6 +207,7 @@ def main(argv=None) -> int:
         remat=args.remat,
         compact_patches=args.compact_patches,
         fused_text_mlp=args.fused_text_mlp,
+        tiled_frozen_mlp=args.tiled_frozen_mlp,
         unfreeze_text_at_epoch=args.unfreeze_text_at_epoch,
     )
 

@@ -294,6 +294,12 @@ class DistillConfig:
     # the MXU per program; the HBM traffic saved is negligible at
     # mlp=2048). The kernel exists for bandwidth-bound trainable MLPs.
     fused_text_mlp: bool = False
+    # Allow the TILED (weight-streaming) frozen-MLP pair where weights
+    # overflow VMEM residency (ViT-L/14). Default OFF: measured slower
+    # than XLA there on v5e (fwd+bwd 2.84 vs 1.85 ms at B=32) — XLA's
+    # single large GEMM already runs near peak. The resident pair (B/16)
+    # is unaffected by this knob and stays on.
+    tiled_frozen_mlp: bool = False
 
 
 @dataclass(frozen=True)

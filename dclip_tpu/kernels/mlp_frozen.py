@@ -113,16 +113,23 @@ def _tiled_chunk(
     return None
 
 
-def mlp_frozen_fit(seq: int, hidden: int, mlp_dim: int, itemsize: int) -> bool:
-    """Whether SOME frozen-MLP kernel pair (resident or tiled) fits VMEM.
+def mlp_frozen_fit(
+    seq: int, hidden: int, mlp_dim: int, itemsize: int,
+    allow_tiled: bool = False,
+) -> bool:
+    """Whether the frozen-MLP kernel pair should engage at these shapes.
 
-    B/16 (197x768x3072) takes the weights-resident pair; ViT-L/14
-    (257x1024x4096) streams weight tiles. Only shapes where even a
-    128-wide tile overflows fall back to the XLA path."""
-    return (
-        _resident_fit(seq, hidden, mlp_dim, itemsize)
-        or _tiled_chunk(seq, hidden, mlp_dim, itemsize) is not None
-    )
+    B/16 (197x768x3072) takes the weights-resident pair — MEASURED faster
+    than XLA on v5e (cache-warm step 968 -> 1010 img/s). ViT-L/14
+    (257x1024x4096) overflows weight residency; the tiled weight-streaming
+    pair compiles and is parity-correct but MEASURED SLOWER than XLA there
+    (fwd+bwd 2.84 vs 1.85 ms at B=32 on v5e: XLA's one big [B*S, D] GEMM
+    already runs ~78% of peak, while the tiled grid re-fetches weight
+    tiles per batch row and recomputes LN per tile). So tiled is opt-in
+    (`allow_tiled`), not the default."""
+    if _resident_fit(seq, hidden, mlp_dim, itemsize):
+        return True
+    return allow_tiled and _tiled_chunk(seq, hidden, mlp_dim, itemsize) is not None
 
 
 def _fwd_save_kernel(eps: float, chunk: int,
@@ -424,7 +431,10 @@ def _mlp_block_frozen_tiled(
     )
     w1_spec = pl.BlockSpec((d, c), lambda i, j: (0, j),
                            memory_space=pltpu.VMEM)
-    b1_spec = pl.BlockSpec((1, c), lambda i, j: (j, 0),
+    # b1 ships as [nj, 1, c] so the block's last-two dims are (1, c): the
+    # sublane dim equals the array's (Mosaic requires each of the last two
+    # block dims to divide (8, 128) or match the array dim).
+    b1_spec = pl.BlockSpec((1, 1, c), lambda i, j: (j, 0, 0),
                            memory_space=pltpu.VMEM)
     w2_spec = pl.BlockSpec((c, d), lambda i, j: (j, 0),
                            memory_space=pltpu.VMEM)
@@ -435,7 +445,7 @@ def _mlp_block_frozen_tiled(
     @jax.custom_vjp
     def f(x, ln_scale, ln_bias, w1, b1, w2, b2):
         consts = _cast_consts(x, ln_scale, ln_bias, w1, b1, w2, b2)
-        consts[3] = consts[3].reshape(nj, c)  # b1 rows per tile
+        consts[3] = consts[3].reshape(nj, 1, c)  # b1 rows per tile
         return pl.pallas_call(
             functools.partial(_fwd_kernel_tiled, eps, False),
             grid=(b, nj),
@@ -449,7 +459,7 @@ def _mlp_block_frozen_tiled(
 
     def fwd(x, ln_scale, ln_bias, w1, b1, w2, b2):
         consts = _cast_consts(x, ln_scale, ln_bias, w1, b1, w2, b2)
-        consts[3] = consts[3].reshape(nj, c)
+        consts[3] = consts[3].reshape(nj, 1, c)
         y, a1 = pl.pallas_call(
             functools.partial(_fwd_kernel_tiled, eps, True),
             grid=(b, nj),

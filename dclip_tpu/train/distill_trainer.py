@@ -308,9 +308,10 @@ class DistillTrainer(BaseTrainer):
     def _make_student(self, params) -> CLIPModule:
         """Student module for the current unfreeze stage: the fused
         frozen-MLP vision path is enabled exactly while the mask keeps
-        the vision LN2+MLP weights frozen and the kernel pair fits VMEM
-        (ViT-L/14 overflows weight residency and takes the tiled
-        weight-streaming pair; see kernels/mlp_frozen.py)."""
+        the vision LN2+MLP weights frozen and the weights-resident pair
+        fits VMEM (B/16). ViT-L/14 overflows residency; its tiled
+        weight-streaming pair is opt-in via --tiled_frozen_mlp because
+        XLA measured faster there (see mlp_frozen_fit)."""
         fused_frozen = False
         fused_text = False
         if self.cfg.use_pallas:
@@ -324,6 +325,7 @@ class DistillTrainer(BaseTrainer):
                 v.hidden_size,
                 v.mlp_dim,
                 itemsize,
+                allow_tiled=self.cfg.tiled_frozen_mlp,
             ) and self._vision_mlp_frozen(params)
             # The trainable fused kernel trio (kernels/mlp_trainable.py)
             # is MEASURED SLOWER than XLA for the text stack on v5e

@@ -397,8 +397,9 @@ def test_mlp_frozen_grad_parity(frozen_mlp_args):
 
 
 def test_mlp_frozen_fit_budget():
-    """B/16 takes the weights-resident pair; ViT-L/14 overflows residency
-    but is admitted through the weight-streaming tiled pair."""
+    """B/16 takes the weights-resident pair. ViT-L/14 overflows residency:
+    the tiled pair admits it only under allow_tiled (opt-in — measured
+    slower than XLA at L/14 shapes on v5e, see mlp_frozen_fit docstring)."""
     from dclip_tpu.core.config import CLIPConfig
     from dclip_tpu.kernels.mlp_frozen import (
         _resident_fit,
@@ -414,7 +415,10 @@ def test_mlp_frozen_fit_budget():
     assert not _resident_fit(s14, l14.hidden_size, l14.mlp_dim, 2)
     c = _tiled_chunk(s14, l14.hidden_size, l14.mlp_dim, 2)
     assert c is not None and l14.mlp_dim % c == 0
-    assert mlp_frozen_fit(s14, l14.hidden_size, l14.mlp_dim, 2)
+    assert not mlp_frozen_fit(s14, l14.hidden_size, l14.mlp_dim, 2)
+    assert mlp_frozen_fit(
+        s14, l14.hidden_size, l14.mlp_dim, 2, allow_tiled=True
+    )
 
 
 def test_mlp_frozen_tiled_forward_parity(frozen_mlp_args):
@@ -448,6 +452,40 @@ def test_mlp_frozen_tiled_grad_parity(frozen_mlp_args):
     )
     for g in gk[1:]:
         assert float(jnp.abs(g).max()) == 0.0
+
+
+@pytest.mark.slow
+def test_mlp_frozen_tpu_lowering():
+    """Both frozen-MLP pairs (resident at B/16 shapes, tiled at L/14
+    shapes) LOWER for the real TPU backend, fwd and grad, via
+    cross-platform jax.export on CPU.
+
+    Interpret mode skips Mosaic's block-spec validation — a (1, c) bias
+    block over a (nj, c) array passed interpret parity but failed on
+    hardware with "last two dimensions of your block shape are divisible
+    by 8 and 128" — so this is the CPU-runnable regression net for that
+    whole bug class."""
+    from dclip_tpu.kernels.mlp_frozen import mlp_block_frozen
+
+    for s, d, mlp, tile in ((200, 768, 3072, None), (264, 1024, 4096, 512)):
+        x = jnp.zeros((2, s, d), jnp.bfloat16)
+        w = (
+            jnp.ones((d,), jnp.float32),
+            jnp.zeros((d,), jnp.float32),
+            jnp.zeros((d, mlp), jnp.bfloat16),
+            jnp.zeros((mlp,), jnp.bfloat16),
+            jnp.zeros((mlp, d), jnp.bfloat16),
+            jnp.zeros((d,), jnp.bfloat16),
+        )
+
+        def loss(x):
+            y = mlp_block_frozen(x, *w, tile=tile)
+            return jnp.sum(y.astype(jnp.float32))
+
+        jax.export.export(jax.jit(mlp_block_frozen), platforms=["tpu"])(
+            x, *w
+        )
+        jax.export.export(jax.jit(jax.grad(loss)), platforms=["tpu"])(x)
 
 
 def test_clip_fused_frozen_mlp_module_parity():
