@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "throughput per core, ~0.5%% mean pixel delta vs "
                         "the exact HF resize geometry (training-only knob; "
                         "eval paths always decode exact)")
+    p.add_argument("--decode_backend", choices=("pil", "native"),
+                   default="pil",
+                   help="'native' = C++ libjpeg decode + fused resample/"
+                        "normalize (GIL-released, so decode threads scale "
+                        "over real cores; per-item PIL fallback for "
+                        "non-JPEG/corrupt files). 'pil' keeps HF bit-parity")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (multi-host pod): the "
                         "input pipeline shards per process, checkpoints/"
@@ -246,6 +252,7 @@ def main(argv=None) -> int:
             seed=cfg.seed,
             num_workers=args.num_workers,
             fast_decode=args.fast_decode,
+            decode_backend=args.decode_backend,
             shard_index=shard_index,
             shard_count=shard_count,
         )

@@ -44,6 +44,9 @@ import numpy as np
 from dclip_tpu.data.detection_cache import DetectionCache
 from dclip_tpu.ops.image_ops import CLIP_MEAN, CLIP_STD
 
+_CLIP_MEAN_F32 = np.asarray(CLIP_MEAN, np.float32)
+_CLIP_STD_F32 = np.asarray(CLIP_STD, np.float32)
+
 
 @dataclass
 class Batch:
@@ -133,9 +136,11 @@ class StarvationMonitor:
         threshold: float = 0.3,
         min_batches: int = 8,
         fast_decode: bool = False,
+        decode_backend: str = "pil",
     ):
         self.num_workers = num_workers
         self.fast_decode = fast_decode
+        self.decode_backend = decode_backend
         self.warmup_batches = warmup_batches
         self.threshold = threshold
         self.min_batches = min_batches
@@ -178,7 +183,8 @@ class StarvationMonitor:
             f"{wait_frac * 100:.0f}% of step time (decode supply ~{supply:.0f} "
             f"img/s vs compute demand ~{demand:.0f} img/s). "
             f"Suggest --num_workers {suggested} (currently {self.num_workers})"
-            f"{'' if self.fast_decode else ' and/or --fast_decode (scaled DCT decode, ~2-4x per core)'}."
+            f"{'' if self.fast_decode else ' and/or --fast_decode (scaled DCT decode, ~2-4x per core)'}"
+            f"{'' if self.decode_backend == 'native' else ' and/or --decode_backend native (C++ decode, GIL-free threads)'}."
         )
 
 
@@ -216,6 +222,7 @@ class MultiModalPipeline:
         num_workers: int = 0,
         monitor_starvation: bool = True,
         fast_decode: bool = False,
+        decode_backend: str = "pil",
         shard_index: int = 0,
         shard_count: int = 1,
     ):
@@ -240,6 +247,15 @@ class MultiModalPipeline:
         # resolution), ~0.5% mean pixel delta vs the exact HF geometry —
         # opt-in, so eval/golden paths stay bit-comparable by default.
         self.fast_decode = fast_decode
+        # "native": C++ libjpeg decode + fused resample/normalize
+        # (native/jpeg_decode.cc) with per-item PIL fallback; GIL-released,
+        # so `num_threads` scales over real cores without a process pool.
+        # "pil" stays the default — eval/golden paths keep HF bit-parity.
+        if decode_backend not in ("pil", "native"):
+            raise ValueError(
+                f"decode_backend must be 'pil' or 'native', got {decode_backend!r}"
+            )
+        self.decode_backend = decode_backend
         # Multi-host sharding: `batch_size` stays the GLOBAL batch size;
         # process p loads rows [p*local : (p+1)*local] of every global
         # batch, so the global array assembled by
@@ -266,7 +282,10 @@ class MultiModalPipeline:
         self._pool = None
         # One warning per pipeline lifetime (latched across epochs).
         self._starvation_monitor = (
-            StarvationMonitor(num_workers, fast_decode=fast_decode)
+            StarvationMonitor(
+                num_workers, fast_decode=fast_decode,
+                decode_backend=decode_backend,
+            )
             if monitor_starvation else None
         )
 
@@ -313,6 +332,27 @@ class MultiModalPipeline:
 
     # -- per-item ----------------------------------------------------------
 
+    def _decode_native(self, path: str):
+        """One native call: JPEG bytes -> (student, teacher, (w, h)).
+
+        Returns None whenever the native path can't serve the item (lib
+        unavailable, non-JPEG file, corrupt bytes) — the caller falls back
+        to the PIL route, so `decode_backend="native"` never changes WHICH
+        items load, only how fast. The call releases the GIL, so the
+        epoch's ThreadPoolExecutor gets real multi-core decode parallelism
+        without the spawn process pool."""
+        from dclip_tpu import native
+
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            return None
+        return native.decode_preprocess(
+            data, self.image_size, self.teacher_image_size,
+            fast=self.fast_decode, mean=_CLIP_MEAN_F32, std=_CLIP_STD_F32,
+        )
+
     def _load_item(self, idx: int, epoch: int) -> dict:
         from PIL import Image
 
@@ -320,25 +360,32 @@ class MultiModalPipeline:
         rng = np.random.RandomState((self.seed * 1_000_003 + epoch * 9176 + idx) % (2**31))
         captions = item["captions"]
         caption = captions[rng.randint(len(captions))] if captions else ""
-        try:
-            with Image.open(item["image_path"]) as im:
-                # Box rescale below needs the ORIGINAL frame size — read it
-                # from the header before draft shrinks the decode.
-                w, h = im.size
-                if self.fast_decode:
-                    t = max(self.image_size, self.teacher_image_size)
-                    im.draft("RGB", (t, t))  # no-op for non-JPEG
-                im = im.convert("RGB")
-                pixel_values = preprocess_image(im, self.image_size)
-                teacher_pixels = squash_resize(im, self.teacher_image_size)
-        except Exception:
-            # Reference behavior: zero tensors on unreadable images
-            # (CLIP_image_distillation.py:400-409), but explicit.
-            w = h = self.teacher_image_size
-            pixel_values = np.zeros((self.image_size, self.image_size, 3), np.float32)
-            teacher_pixels = np.zeros(
-                (self.teacher_image_size, self.teacher_image_size, 3), np.float32
-            )
+        decoded = (
+            self._decode_native(item["image_path"])
+            if self.decode_backend == "native" else None
+        )
+        if decoded is not None:
+            pixel_values, teacher_pixels, (w, h) = decoded
+        else:
+            try:
+                with Image.open(item["image_path"]) as im:
+                    # Box rescale below needs the ORIGINAL frame size — read
+                    # it from the header before draft shrinks the decode.
+                    w, h = im.size
+                    if self.fast_decode:
+                        t = max(self.image_size, self.teacher_image_size)
+                        im.draft("RGB", (t, t))  # no-op for non-JPEG
+                    im = im.convert("RGB")
+                    pixel_values = preprocess_image(im, self.image_size)
+                    teacher_pixels = squash_resize(im, self.teacher_image_size)
+            except Exception:
+                # Reference behavior: zero tensors on unreadable images
+                # (CLIP_image_distillation.py:400-409), but explicit.
+                w = h = self.teacher_image_size
+                pixel_values = np.zeros((self.image_size, self.image_size, 3), np.float32)
+                teacher_pixels = np.zeros(
+                    (self.teacher_image_size, self.teacher_image_size, 3), np.float32
+                )
         boxes, conf, mask = self.cache.get_fixed([item["image_path"]], self.max_patches)
         boxes, conf, mask = boxes[0], conf[0], mask[0]
         # Rescale boxes from original pixel coords into the teacher frame.

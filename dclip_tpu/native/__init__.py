@@ -18,9 +18,13 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "dclip_native.cc")
 _LIB_PATH = os.path.join(_HERE, "libdclip_native.so")
+_JPEG_SRC = os.path.join(_HERE, "jpeg_decode.cc")
+_JPEG_LIB_PATH = os.path.join(_HERE, "libdclip_jpeg.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_jpeg_lib: Optional[ctypes.CDLL] = None
+_jpeg_tried = False
 
 
 def _compile() -> bool:
@@ -88,6 +92,89 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+def _load_jpeg() -> Optional[ctypes.CDLL]:
+    """The JPEG decode library builds separately (needs -ljpeg) so the
+    KV-store/topk library never gains a libjpeg dependency; either can be
+    present without the other."""
+    global _jpeg_lib, _jpeg_tried
+    with _lock:
+        if _jpeg_lib is not None or _jpeg_tried:
+            return _jpeg_lib
+        _jpeg_tried = True
+        if not os.path.exists(_JPEG_LIB_PATH) or os.path.getmtime(
+            _JPEG_LIB_PATH
+        ) < os.path.getmtime(_JPEG_SRC):
+            # -march=native is safe here: the .so is built on demand on
+            # the machine that runs it (never shipped).
+            cmd = [
+                "g++", "-O3", "-march=native", "-funroll-loops",
+                "-std=c++17", "-shared", "-fPIC",
+                "-o", _JPEG_LIB_PATH, _JPEG_SRC, "-ljpeg",
+            ]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+            except (subprocess.SubprocessError, FileNotFoundError) as e:
+                print(f"dclip_jpeg build failed ({e}); PIL decode only")
+                return None
+        try:
+            lib = ctypes.CDLL(_JPEG_LIB_PATH)
+        except OSError as e:  # e.g. libjpeg runtime missing
+            print(f"dclip_jpeg load failed ({e}); PIL decode only")
+            return None
+        lib.dcj_decode_preprocess.restype = ctypes.c_int
+        lib.dcj_decode_preprocess.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _jpeg_lib = lib
+        return _jpeg_lib
+
+
+def jpeg_available() -> bool:
+    return _load_jpeg() is not None
+
+
+def decode_preprocess(
+    data: bytes,
+    student_size: int,
+    teacher_size: int,
+    fast: bool = False,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+) -> Optional[Tuple[np.ndarray, np.ndarray, Tuple[int, int]]]:
+    """Decode a JPEG and produce both pipeline tensors in one native call.
+
+    Returns (student [S,S,3] f32 normalized, teacher [T,T,3] f32 in [0,1],
+    (orig_w, orig_h)), or None on any decode failure — callers fall back
+    to the PIL path (data/pipeline.py keeps identical semantics there).
+    The GIL is released for the duration of the call (ctypes)."""
+    lib = _load_jpeg()
+    if lib is None:
+        return None
+    student = np.empty((student_size, student_size, 3), np.float32)
+    teacher = np.empty((teacher_size, teacher_size, 3), np.float32)
+    wh = (ctypes.c_int * 2)()
+    fp = ctypes.POINTER(ctypes.c_float)
+
+    def _fparr(x):
+        if x is None:
+            return ctypes.cast(None, fp)
+        return np.ascontiguousarray(x, np.float32).ctypes.data_as(fp)
+
+    rc = lib.dcj_decode_preprocess(
+        data, len(data), student_size, teacher_size, 1 if fast else 0,
+        _fparr(mean), _fparr(std),
+        student.ctypes.data_as(fp), teacher.ctypes.data_as(fp), wh,
+    )
+    if rc != 0:
+        return None
+    return student, teacher, (int(wh[0]), int(wh[1]))
 
 
 class NativeKVStore:

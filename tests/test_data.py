@@ -490,3 +490,64 @@ def test_pipeline_starvation_warning_end_to_end(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "STARVING" in out and "--num_workers" in out
     assert out.count("STARVING") == 1  # once, not per batch
+
+
+def test_pipeline_native_decode_backend(tmp_path):
+    """decode_backend='native' (C++ libjpeg, native/jpeg_decode.cc) loads
+    the SAME items as the PIL path: close pixels for JPEGs, identical
+    boxes (original-size rescale), exact PIL values for non-JPEG files
+    (per-item fallback), zero-fallback for unreadable paths. When the
+    native lib is unavailable the backend degrades to PIL entirely, so
+    every assertion below still holds."""
+    from PIL import Image
+
+    rng = np.random.RandomState(5)
+    items = []
+    jpg = str(tmp_path / "a.jpg")
+    Image.fromarray(rng.randint(0, 255, (100, 140, 3), np.uint8)).save(
+        jpg, "JPEG", quality=95
+    )
+    items.append({"image_path": jpg, "captions": ["jay"], "dataset": "t",
+                  "boxes": []})
+    png = str(tmp_path / "b.png")
+    Image.fromarray(rng.randint(0, 255, (60, 50, 3), np.uint8)).save(png)
+    items.append({"image_path": png, "captions": ["pee"], "dataset": "t",
+                  "boxes": []})
+    # CMYK JPEG: libjpeg cannot emit RGB from CMYK — native returns None
+    # and the item must come through the PIL route bit-identically.
+    cmyk = str(tmp_path / "c.jpg")
+    Image.fromarray(
+        rng.randint(0, 255, (40, 40, 3), np.uint8)
+    ).convert("CMYK").save(cmyk, "JPEG", quality=95)
+    items.append({"image_path": cmyk, "captions": ["sea"], "dataset": "t",
+                  "boxes": []})
+    items.append({"image_path": str(tmp_path / "gone.jpg"),
+                  "captions": ["broken"], "dataset": "t", "boxes": []})
+    cache = DetectionCache()
+    cache.put(jpg, np.array([[10.0, 10.0, 130.0, 90.0]]), np.array([0.9]))
+
+    def run(backend):
+        pipe = MultiModalPipeline(
+            items, HashTokenizer(max_length=8), cache, batch_size=4,
+            max_patches=2, image_size=32, teacher_image_size=24,
+            shuffle=False, drop_remainder=False, decode_backend=backend,
+        )
+        (b,) = list(pipe.epoch(0))
+        return b
+
+    nat, pil = run("native"), run("pil")
+    np.testing.assert_array_equal(nat.boxes, pil.boxes)
+    np.testing.assert_array_equal(nat.box_mask, pil.box_mask)
+    np.testing.assert_array_equal(nat.input_ids, pil.input_ids)
+    # JPEG row: close (different resample precision), not necessarily equal.
+    assert np.abs(nat.pixel_values[0] - pil.pixel_values[0]).mean() < 0.01
+    assert np.abs(nat.teacher_pixels[0] - pil.teacher_pixels[0]).mean() < 0.004
+    # PNG + CMYK rows go through the PIL fallback: bit-identical.
+    np.testing.assert_array_equal(nat.pixel_values[1], pil.pixel_values[1])
+    np.testing.assert_array_equal(nat.pixel_values[2], pil.pixel_values[2])
+    # Unreadable row: zero tensors either way.
+    np.testing.assert_allclose(nat.pixel_values[3], 0.0)
+
+    with pytest.raises(ValueError, match="decode_backend"):
+        MultiModalPipeline(items, HashTokenizer(max_length=8), cache,
+                           decode_backend="turbo")

@@ -165,3 +165,93 @@ print("TSAN RUN DONE")
                        timeout=120, text=True, env=env)
     assert "TSAN RUN DONE" in r.stdout, r.stderr[-2000:]
     assert "WARNING: ThreadSanitizer" not in r.stderr, r.stderr[-2000:]
+
+
+# -- native JPEG decode + preprocess (jpeg_decode.cc) --------------------------
+
+
+def _save_jpeg(path, arr, **kw):
+    from PIL import Image
+
+    Image.fromarray(arr).save(str(path), "JPEG", quality=kw.pop("quality", 95),
+                              **kw)
+    with open(path, "rb") as f:
+        return f.read()
+
+
+@pytest.mark.skipif(not native.jpeg_available(), reason="libjpeg toolchain absent")
+def test_jpeg_decode_parity_and_geometry(tmp_path):
+    """Native decode+preprocess tracks the PIL path (pipeline.py:74-111)
+    within ~1 uint8 LSB across landscape/portrait/odd sizes and grayscale,
+    and reports the ORIGINAL frame size (box rescale depends on it)."""
+    from PIL import Image
+
+    from dclip_tpu.data.pipeline import preprocess_image, squash_resize
+    from dclip_tpu.ops.image_ops import CLIP_MEAN, CLIP_STD
+
+    mean = np.asarray(CLIP_MEAN, np.float32)
+    std = np.asarray(CLIP_STD, np.float32)
+    rng = np.random.RandomState(0)
+    cases = [
+        rng.randint(0, 255, (120, 160, 3), np.uint8),   # landscape
+        rng.randint(0, 255, (160, 120, 3), np.uint8),   # portrait
+        rng.randint(0, 255, (131, 97, 3), np.uint8),    # odd dims
+        np.repeat(rng.randint(0, 255, (90, 110, 1), np.uint8), 3, -1),
+    ]
+    # True grayscale JPEG (1 channel in the file; decoder upconverts).
+    gray = rng.randint(0, 255, (100, 80), np.uint8)
+    for i, arr in enumerate(cases):
+        data = _save_jpeg(tmp_path / f"c{i}.jpg", arr)
+        out = native.decode_preprocess(data, 64, 48, mean=mean, std=std)
+        assert out is not None
+        s, t, (w, h) = out
+        assert (w, h) == (arr.shape[1], arr.shape[0])
+        assert s.shape == (64, 64, 3) and t.shape == (48, 48, 3)
+        with Image.open(tmp_path / f"c{i}.jpg") as im:
+            im = im.convert("RGB")
+            s_ref = preprocess_image(im, 64)
+            t_ref = squash_resize(im, 48)
+        # Mean ~1 uint8 LSB in normalized units ((1/255)/std ~ 0.016); max
+        # is looser: PIL rounds to uint8 BETWEEN the two resize passes
+        # while the native path keeps float32 intermediates, so isolated
+        # noise pixels can disagree by several LSB.
+        assert np.abs(s - s_ref).mean() < 0.01, f"case {i}"
+        assert np.abs(s - s_ref).max() < 0.15, f"case {i}"
+        assert np.abs(t - t_ref).mean() < 0.004, f"case {i}"
+    data = _save_jpeg(tmp_path / "gray.jpg", gray)
+    out = native.decode_preprocess(data, 32, 32, mean=mean, std=std)
+    assert out is not None and out[2] == (80, 100)
+
+
+@pytest.mark.skipif(not native.jpeg_available(), reason="libjpeg toolchain absent")
+def test_jpeg_decode_fast_scaled(tmp_path):
+    """fast=True (scaled DCT decode, PIL-draft contract) stays close to the
+    exact decode and still reports the pre-scale original size."""
+    rng = np.random.RandomState(1)
+    y, x = np.mgrid[0:400, 0:600]
+    arr = np.stack([x * 255 // 600, y * 255 // 400,
+                    rng.randint(0, 40, (400, 600))], -1).astype(np.uint8)
+    data = _save_jpeg(tmp_path / "big.jpg", arr)
+    exact = native.decode_preprocess(data, 64, 48)
+    fast = native.decode_preprocess(data, 64, 48, fast=True)
+    assert exact is not None and fast is not None
+    assert fast[2] == (600, 400)
+    assert np.abs(exact[0] - fast[0]).mean() < 0.03  # [0,1] units (no norm)
+    assert np.abs(exact[1] - fast[1]).mean() < 0.03
+
+
+@pytest.mark.skipif(not native.jpeg_available(), reason="libjpeg toolchain absent")
+def test_jpeg_decode_rejects_non_jpeg(tmp_path):
+    """Anything libjpeg can't fully decode returns None (callers fall back
+    to PIL): garbage, PNG bytes, empty, truncated JPEG."""
+    from PIL import Image
+    import io
+
+    assert native.decode_preprocess(b"", 32, 32) is None
+    assert native.decode_preprocess(b"\x00" * 64, 32, 32) is None
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((20, 20, 3), np.uint8)).save(buf, "PNG")
+    assert native.decode_preprocess(buf.getvalue(), 32, 32) is None
+    data = _save_jpeg(tmp_path / "t.jpg",
+                      np.zeros((60, 60, 3), np.uint8))
+    assert native.decode_preprocess(data[: len(data) // 2], 32, 32) is None
