@@ -89,6 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="opt-in trainable fused MLP kernels for the text "
                         "stack (measured slower than XLA on v5e at CLIP "
                         "text shapes; see kernels/mlp_trainable.py)")
+    p.add_argument("--device_target_cache",
+                   action=argparse.BooleanOptionalAction, default=None,
+                   help="HBM-resident level-0 teacher-target cache: cached "
+                        "rows gather on device instead of re-crossing "
+                        "host->device each epoch (default: auto — on for "
+                        "single-device meshes)")
+    p.add_argument("--device_cache_mb", type=int, default=512,
+                   help="HBM byte budget for --device_target_cache")
     p.add_argument("--tiled_frozen_mlp", action="store_true",
                    help="opt-in tiled weight-streaming frozen-MLP pair for "
                         "VMEM-overflowing shapes like ViT-L/14 (measured "
@@ -214,6 +222,8 @@ def main(argv=None) -> int:
         compact_patches=args.compact_patches,
         fused_text_mlp=args.fused_text_mlp,
         tiled_frozen_mlp=args.tiled_frozen_mlp,
+        device_target_cache=args.device_target_cache,
+        device_cache_mb=args.device_cache_mb,
         unfreeze_text_at_epoch=args.unfreeze_text_at_epoch,
     )
 

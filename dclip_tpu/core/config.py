@@ -300,6 +300,13 @@ class DistillConfig:
     # single large GEMM already runs near peak. The resident pair (B/16)
     # is unaffected by this knob and stays on.
     tiled_frozen_mlp: bool = False
+    # HBM-resident level-0 teacher-target cache (train/device_cache.py):
+    # cached rows gather on device instead of re-crossing H2D each epoch.
+    # None = auto (on for single-device meshes when a teacher_cache is
+    # attached); the host cache remains the multi-device and persistence
+    # path. Budget split below between full targets and patch embeddings.
+    device_target_cache: Optional[bool] = None
+    device_cache_mb: int = 512
 
 
 @dataclass(frozen=True)

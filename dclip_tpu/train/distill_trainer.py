@@ -272,6 +272,36 @@ class DistillTrainer(BaseTrainer):
         self._eval_loss = jax.jit(self._loss)
         self._batch_sharding = batch_sharding(self.mesh, cfg.mesh.data_axis)
         self.teacher_cache = teacher_cache
+        # HBM-resident level-0 in front of the host cache: hits gather on
+        # device (one [B] int32 upload) instead of re-crossing H2D each
+        # epoch. Single-device meshes only — the buffer is unsharded, and
+        # under dp>1 the step wants targets batch-sharded.
+        self._dev_full = self._dev_pe = None
+        single = self.mesh.devices.size == 1
+        want_dev_cache = (
+            cfg.device_target_cache
+            if cfg.device_target_cache is not None
+            else single
+        )
+        if want_dev_cache and teacher_cache is not None:
+            if not single:
+                print("device_target_cache disabled: multi-device mesh "
+                      "(host cache serves dp>1)")
+            else:
+                from dclip_tpu.train.device_cache import DeviceTargetCache
+
+                budget = cfg.device_cache_mb * (1 << 20)
+                dev0 = self.mesh.devices.flat[0]
+                d = cfg.teacher.embed_dim
+                # Patch embeddings dominate bytes (P x D vs 2 x D) and are
+                # the every-epoch hit level (full keys change with caption
+                # resampling) — give them 3/4 of the budget.
+                self._dev_full = DeviceTargetCache(
+                    (2, d), jnp.float32, budget // 4, dev0
+                )
+                self._dev_pe = DeviceTargetCache(
+                    (cfg.teacher.max_patches, d), dtype, 3 * budget // 4, dev0
+                )
         # Compaction's batch-wide argsort gather would reshard full frames
         # across the data axis under dp>1 — costlier than the savings.
         self._compact = cfg.compact_patches and (
@@ -610,7 +640,11 @@ class DistillTrainer(BaseTrainer):
                 patch_keys = self.teacher_cache.pe_keys_for(d)
         with trace_span("teacher_targets"):
             pe = None
-            if patch_keys is not None:
+            if patch_keys is not None and self._dev_pe is not None:
+                # Level 0 (HBM): the every-epoch level — full keys change
+                # with caption resampling, pe keys do not.
+                pe = self._dev_pe.get(patch_keys)
+            if pe is None and patch_keys is not None:
                 cached_pe = self.teacher_cache.get_batch(patch_keys)
                 if cached_pe is not None:
                     # Same dtype as the miss path (the cache stores f32):
@@ -622,10 +656,14 @@ class DistillTrainer(BaseTrainer):
                         ),
                         self._batch_sharding,
                     )
+                    if self._dev_pe is not None:
+                        self._dev_pe.put(patch_keys, pe)
             if pe is None:
                 pe = self._encode_patches_budgeted(raw_batch, device_batch)
                 if patch_keys is not None:
                     self.teacher_cache.put_batch(patch_keys, local_rows(pe))
+                    if self._dev_pe is not None:
+                        self._dev_pe.put(patch_keys, pe)
             teacher_img, teacher_txt = self._teacher_tail_step(
                 self.teacher_clip_variables, self.teacher_params, pe, device_batch
             )
@@ -636,6 +674,14 @@ class DistillTrainer(BaseTrainer):
                     [local_rows(teacher_img), local_rows(teacher_txt)], axis=1
                 ),
             )
+            if self._dev_full is not None:
+                self._dev_full.put(
+                    keys,
+                    jnp.stack(
+                        [teacher_img.astype(jnp.float32),
+                         teacher_txt.astype(jnp.float32)], axis=1
+                    ),
+                )
         return teacher_img, teacher_txt
 
     def train_step_on_batch(self, batch):
@@ -647,12 +693,22 @@ class DistillTrainer(BaseTrainer):
         d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
         cached = None
         keys = None
+        dev_hit = None
         if self.teacher_cache is not None and self._cacheable(d):
             keys = self.teacher_cache.keys_for(d)
-            cached = self.teacher_cache.get_batch(keys)
-        if cached is not None:
+            # Level 0: HBM-resident — a hit costs one [B] int32 upload.
+            if self._dev_full is not None:
+                dev_hit = self._dev_full.get(keys)
+            if dev_hit is None:
+                cached = self.teacher_cache.get_batch(keys)
+        if dev_hit is not None:
+            device_batch = self._device_batch(batch, self._STUDENT_FIELDS)
+            teacher_img, teacher_txt = dev_hit[:, 0], dev_hit[:, 1]
+        elif cached is not None:
             device_batch = self._device_batch(batch, self._STUDENT_FIELDS)
             t = put_sharded(np.asarray(cached), self._batch_sharding)
+            if self._dev_full is not None:  # promote: later epochs stay on device
+                self._dev_full.put(keys, t)
             teacher_img, teacher_txt = t[:, 0], t[:, 1]
         else:
             device_batch = self._device_batch(batch)

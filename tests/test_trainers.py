@@ -825,3 +825,117 @@ def test_distill_fused_text_mlp_opt_in(distill_setup, cpu_mesh):
         ["fc1"]["kernel"]
     ))
     assert not np.allclose(before, after)
+
+
+# -- HBM-resident level-0 teacher-target cache (train/device_cache.py) --------
+
+
+def test_device_target_cache_unit():
+    """Roundtrip, growth, all-or-nothing miss, idempotent overwrite, and
+    the capacity stop (no eviction: past budget, puts are skipped)."""
+    import jax as _jax
+
+    from dclip_tpu.train.device_cache import DeviceTargetCache
+
+    dev = _jax.devices("cpu")[0]
+    row = (2, 4)
+    row_bytes = 2 * 4 * 4
+    c = DeviceTargetCache(row, jnp.float32, capacity_bytes=6 * row_bytes,
+                          device=dev, min_rows=2)
+    vals = jnp.arange(3 * 2 * 4, dtype=jnp.float32).reshape(3, 2, 4)
+    assert c.get(["a", "b"]) is None  # empty
+    c.put(["a", "b", "c"], vals)
+    assert len(c) == 3
+    got = c.get(["b", "a"])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(vals)[[1, 0]])
+    assert c.get(["a", "zzz"]) is None  # any miss -> None
+    # Overwrite is idempotent and respects existing rows.
+    c.put(["a", "d"], vals[:2] + 100.0)
+    np.testing.assert_array_equal(
+        np.asarray(c.get(["a"])), np.asarray(vals[:1] + 100.0)
+    )
+    assert len(c) == 4
+    # Duplicate keys in one put: last value wins, one row allocated.
+    c.put(["e", "e"], vals[:2])
+    assert len(c) == 5
+    np.testing.assert_array_equal(np.asarray(c.get(["e"])), np.asarray(vals[1:2]))
+    # Capacity: 6 rows total; inserting 2 new keys would need 7 -> skipped.
+    before = len(c)
+    c.put(["f", "g"], vals[:2])
+    assert len(c) == before and c.skipped_puts == 1
+    assert c.get(["f"]) is None
+    # Exactly-at-capacity insert still lands.
+    c.put(["f"], vals[:1])
+    assert len(c) == 6
+
+
+def test_distill_device_cache_matches_host_path(distill_setup, cpu_devices):
+    """On a single-device mesh the HBM level-0 engages (auto): first step
+    computes and populates it, the second full-hits on device, and a
+    pe-only hit (caption resampling analogue) goes through the device pe
+    level — all numerically identical to the host-cache-only trainer."""
+    from dclip_tpu.train import TeacherTargetCache
+
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    mesh1 = make_mesh(MeshConfig(data_parallel=1, model_parallel=1),
+                      devices=cpu_devices[:1])
+
+    def build(device_cache):
+        import dataclasses
+
+        c = dataclasses.replace(cfg, device_target_cache=device_cache)
+        return DistillTrainer(
+            c, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg,
+            mesh=mesh1, teacher_cache=TeacherTargetCache(),
+        )
+
+    t_dev, t_host = build(None), build(False)
+    assert t_dev._dev_full is not None and t_dev._dev_pe is not None
+    assert t_host._dev_full is None
+    pipe = FakePipeline(clip_cfg, 1)
+    batch = pipe.batches[0]
+
+    # Step 1 (miss): populates both levels on the device trainer.
+    m1d = t_dev.train_step_on_batch(batch)
+    m1h = t_host.train_step_on_batch(batch)
+    np.testing.assert_allclose(float(m1d["loss"]), float(m1h["loss"]), rtol=1e-6)
+    assert len(t_dev._dev_full) == B and len(t_dev._dev_pe) == B
+
+    # Step 2 (full hit on device): identical metrics, hit counted.
+    hits0 = t_dev._dev_full.hits
+    m2d = t_dev.train_step_on_batch(batch)
+    m2h = t_host.train_step_on_batch(batch)
+    assert t_dev._dev_full.hits == hits0 + 1
+    np.testing.assert_allclose(float(m2d["loss"]), float(m2h["loss"]), rtol=1e-6)
+
+    # pe-level: wipe the full maps (device + host) so only the
+    # caption-independent pe level can hit — the device pe gather must
+    # serve it and results must still match the host trainer.
+    t_dev._dev_full._rows.clear()
+    full_keys = t_dev.teacher_cache.keys_for(batch.as_dict())
+    for k in full_keys:
+        t_dev.teacher_cache._mem.pop(k, None)
+    for k in full_keys:
+        t_host.teacher_cache._mem.pop(k, None)
+    pe_hits0 = t_dev._dev_pe.hits
+    m3d = t_dev.train_step_on_batch(batch)
+    m3h = t_host.train_step_on_batch(batch)
+    assert t_dev._dev_pe.hits == pe_hits0 + 1
+    np.testing.assert_allclose(float(m3d["loss"]), float(m3h["loss"]), rtol=1e-6)
+
+
+def test_distill_device_cache_multi_device_disabled(distill_setup, cpu_mesh, capsys):
+    """Explicitly requesting the device cache on a dp>1 mesh prints the
+    reason and falls back to the host cache (the buffer is unsharded)."""
+    import dataclasses
+
+    from dclip_tpu.train import TeacherTargetCache
+
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    c = dataclasses.replace(cfg, device_target_cache=True)
+    trainer = DistillTrainer(
+        c, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg,
+        mesh=cpu_mesh, teacher_cache=TeacherTargetCache(),
+    )
+    assert trainer._dev_full is None and trainer._dev_pe is None
+    assert "multi-device mesh" in capsys.readouterr().out
