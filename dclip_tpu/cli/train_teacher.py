@@ -82,6 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="EmbeddingStore (.npz/.dcs from cli.precache "
                         "--build_index) enabling the knn/projection gate "
                         "over patch embeddings")
+    p.add_argument("--device_target_cache",
+                   action=argparse.BooleanOptionalAction, default=None,
+                   help="HBM-resident level-0 over --pe_cache: cached "
+                        "region embeddings gather on device instead of "
+                        "re-crossing host->device each epoch (default: "
+                        "auto — on for single-device meshes)")
+    p.add_argument("--device_cache_mb", type=int, default=384,
+                   help="HBM byte budget for --device_target_cache")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--metrics_csv", default=None)
     add_model_args(p)
@@ -141,6 +149,8 @@ def main(argv=None) -> int:
         compute_dtype=args.compute_dtype,
         use_pallas=args.use_pallas,
         compact_patches=args.compact_patches,
+        device_target_cache=args.device_target_cache,
+        device_cache_mb=args.device_cache_mb,
     )
     print(teacher_config_summary(cfg))
 

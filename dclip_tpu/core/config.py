@@ -207,6 +207,12 @@ class TeacherTrainConfig:
     # Crop compaction for the frozen region encode (see DistillConfig).
     # None = auto: on for single-data-shard TPU meshes.
     compact_patches: Optional[bool] = None
+    # HBM-resident level-0 in front of `pe_cache` (train/device_cache.py):
+    # cached gated patch embeddings gather on device instead of re-crossing
+    # H2D each epoch. None = auto (on for single-device meshes when a
+    # pe_cache is attached).
+    device_target_cache: Optional[bool] = None
+    device_cache_mb: int = 384
 
 
 @dataclass(frozen=True)

@@ -29,6 +29,21 @@ import jax
 import jax.numpy as jnp
 
 
+def resolve_device_cache(mesh, requested: Optional[bool], host_cache) -> bool:
+    """Shared trainer gate: device caching wants a single-device mesh (the
+    buffer is unsharded; under dp>1 the step wants rows batch-sharded) and
+    a host cache to front. `requested=None` means auto (on when eligible)."""
+    if host_cache is None:
+        return False
+    single = mesh.devices.size == 1
+    want = requested if requested is not None else single
+    if want and not single:
+        print("device_target_cache disabled: multi-device mesh "
+              "(host cache serves dp>1)")
+        return False
+    return bool(want)
+
+
 class DeviceTargetCache:
     """Key -> row mapping on the host; row storage in one device buffer.
 

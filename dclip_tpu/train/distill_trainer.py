@@ -277,31 +277,24 @@ class DistillTrainer(BaseTrainer):
         # epoch. Single-device meshes only — the buffer is unsharded, and
         # under dp>1 the step wants targets batch-sharded.
         self._dev_full = self._dev_pe = None
-        single = self.mesh.devices.size == 1
-        want_dev_cache = (
-            cfg.device_target_cache
-            if cfg.device_target_cache is not None
-            else single
+        from dclip_tpu.train.device_cache import (
+            DeviceTargetCache,
+            resolve_device_cache,
         )
-        if want_dev_cache and teacher_cache is not None:
-            if not single:
-                print("device_target_cache disabled: multi-device mesh "
-                      "(host cache serves dp>1)")
-            else:
-                from dclip_tpu.train.device_cache import DeviceTargetCache
 
-                budget = cfg.device_cache_mb * (1 << 20)
-                dev0 = self.mesh.devices.flat[0]
-                d = cfg.teacher.embed_dim
-                # Patch embeddings dominate bytes (P x D vs 2 x D) and are
-                # the every-epoch hit level (full keys change with caption
-                # resampling) — give them 3/4 of the budget.
-                self._dev_full = DeviceTargetCache(
-                    (2, d), jnp.float32, budget // 4, dev0
-                )
-                self._dev_pe = DeviceTargetCache(
-                    (cfg.teacher.max_patches, d), dtype, 3 * budget // 4, dev0
-                )
+        if resolve_device_cache(self.mesh, cfg.device_target_cache, teacher_cache):
+            budget = cfg.device_cache_mb * (1 << 20)
+            dev0 = self.mesh.devices.flat[0]
+            d = cfg.teacher.embed_dim
+            # Patch embeddings dominate bytes (P x D vs 2 x D) and are
+            # the every-epoch hit level (full keys change with caption
+            # resampling) — give them 3/4 of the budget.
+            self._dev_full = DeviceTargetCache(
+                (2, d), jnp.float32, budget // 4, dev0
+            )
+            self._dev_pe = DeviceTargetCache(
+                (cfg.teacher.max_patches, d), dtype, 3 * budget // 4, dev0
+            )
         # Compaction's batch-wide argsort gather would reshard full frames
         # across the data axis under dp>1 — costlier than the savings.
         self._compact = cfg.compact_patches and (

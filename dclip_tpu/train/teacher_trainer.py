@@ -140,6 +140,22 @@ class TeacherTrainer(BaseTrainer):
                 repr(cfg.teacher), cfg.clip_model, self.clip_variables,
                 self._knn_keys, self._knn_values, self._projection_params,
             )
+        # HBM-resident level-0 in front of the host pe cache: epoch >= 1
+        # hits gather on device (one [B] int32 upload) instead of
+        # re-crossing H2D every epoch (see train/device_cache.py).
+        self._dev_pe = None
+        from dclip_tpu.train.device_cache import (
+            DeviceTargetCache,
+            resolve_device_cache,
+        )
+
+        if resolve_device_cache(self.mesh, cfg.device_target_cache, pe_cache):
+            self._dev_pe = DeviceTargetCache(
+                (cfg.teacher.max_patches, cfg.teacher.embed_dim),
+                jnp.dtype(cfg.compute_dtype),
+                cfg.device_cache_mb * (1 << 20),
+                self.mesh.devices.flat[0],
+            )
 
     def _put_replicated(self):
         self.state = replicate_tree(self.state, self.mesh)
@@ -210,16 +226,24 @@ class TeacherTrainer(BaseTrainer):
             d = batch.as_dict() if hasattr(batch, "as_dict") else dict(batch)
             keys = self.pe_cache.pe_keys_for(d)
             if keys is not None:
+                if self._dev_pe is not None:
+                    # Level 0 (HBM): hit costs one [B] int32 upload.
+                    hit = self._dev_pe.get(keys)
+                    if hit is not None:
+                        return hit
                 cached = self.pe_cache.get_batch(keys)
                 if cached is not None:
                     # f32 in the store; same dtype as the miss path so the
                     # loss jit never retraces on the first hit.
-                    return put_sharded(
+                    pe = put_sharded(
                         np.asarray(
                             cached, dtype=jnp.dtype(self.cfg.compute_dtype)
                         ),
                         self._batch_sharding,
                     )
+                    if self._dev_pe is not None:
+                        self._dev_pe.put(keys, pe)  # promote to HBM
+                    return pe
         pe = budgeted_patch_encode(
             self.clip, self.clip_config, self.clip_variables,
             batch, device_batch, self._patch_jits,
@@ -231,6 +255,8 @@ class TeacherTrainer(BaseTrainer):
         )
         if keys is not None:
             self.pe_cache.put_batch(keys, local_rows(pe))
+            if self._dev_pe is not None:
+                self._dev_pe.put(keys, pe)
         return pe
 
     def train_step_on_batch(self, batch):

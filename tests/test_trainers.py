@@ -924,6 +924,49 @@ def test_distill_device_cache_matches_host_path(distill_setup, cpu_devices):
     np.testing.assert_allclose(float(m3d["loss"]), float(m3h["loss"]), rtol=1e-6)
 
 
+def test_teacher_trainer_device_pe_cache(clip_setup, cpu_devices):
+    """Teacher trainer level-0: on a single-device mesh the device pe
+    cache auto-engages; epoch-1 hits gather on device (no host get) with
+    losses identical to the host-cache-only trainer."""
+    from dclip_tpu.train.distill_trainer import TeacherTargetCache
+
+    clip_cfg, clip_vars = clip_setup
+    cfg = TeacherTrainConfig(
+        epochs=1, batch_size=B, learning_rate=1e-3,
+        teacher=_tiny_teacher_cfg(clip_cfg), clip_model="tiny",
+    )
+    mesh1 = make_mesh(MeshConfig(data_parallel=1, model_parallel=1),
+                      devices=cpu_devices[:1])
+    pipe = FakePipeline(clip_cfg, 2)
+
+    t_host = TeacherTrainer(cfg, clip_vars, clip_cfg, mesh=mesh1,
+                            pe_cache=TeacherTargetCache())
+    import dataclasses
+
+    t_dev = TeacherTrainer(
+        dataclasses.replace(cfg, device_target_cache=None),
+        clip_vars, clip_cfg, mesh=mesh1, pe_cache=TeacherTargetCache(),
+    )
+    assert t_dev._dev_pe is not None  # auto: single-device + pe_cache
+    assert TeacherTrainer(cfg, clip_vars, clip_cfg, mesh=mesh1)._dev_pe is None
+
+    for batch in pipe.epoch(0):  # misses populate both levels
+        a = float(t_host.eval_loss_on_batch(batch))
+        b = float(t_dev.eval_loss_on_batch(batch))
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    assert len(t_dev._dev_pe) == 2 * B
+
+    hits0 = t_dev._dev_pe.hits
+    host_gets = []
+    orig_get = t_dev.pe_cache.get_batch
+    t_dev.pe_cache.get_batch = lambda *a, **k: host_gets.append(1) or orig_get(*a, **k)
+    for batch in pipe.epoch(0):  # epoch 1: device hits, host cache untouched
+        a = float(t_host.eval_loss_on_batch(batch))
+        b = float(t_dev.eval_loss_on_batch(batch))
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    assert t_dev._dev_pe.hits == hits0 + 2 and not host_gets
+
+
 def test_distill_device_cache_multi_device_disabled(distill_setup, cpu_mesh, capsys):
     """Explicitly requesting the device cache on a dp>1 mesh prints the
     reason and falls back to the host cache (the buffer is unsharded)."""
