@@ -243,8 +243,16 @@ def main(argv=None) -> int:
         # Every process holds identical replicated state; exactly one
         # persists it (and the metrics CSV).
         ckpts, logger = None, None
-    trainer.fit(train_pipe, val_pipe, checkpoints=ckpts, logger=logger,
-                start_epoch=start_epoch)
+    from dclip_tpu.train.preemption import Preempted, PreemptionGuard
+
+    try:
+        with PreemptionGuard() as guard:
+            trainer.fit(train_pipe, val_pipe, checkpoints=ckpts,
+                        logger=logger, start_epoch=start_epoch,
+                        preemption=guard)
+    except Preempted as e:
+        print(f"Preempted (SIGTERM): {e}; state saved, exiting cleanly")
+        return 0
     best = ckpts.best() if ckpts is not None else None
     if best:
         print(f"Best model: {best['path']} (val_loss={best['metrics']['val_loss']:.4f})")

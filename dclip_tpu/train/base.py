@@ -203,12 +203,19 @@ class BaseTrainer:
         raise NotImplementedError
 
     def train_epoch(
-        self, batches: Iterable, logger: Optional[MetricsLogger] = None
+        self, batches: Iterable, logger: Optional[MetricsLogger] = None,
+        preemption=None,
     ) -> float:
         # Loss accumulates ON DEVICE; host sync happens only at log points,
         # so steps pipeline through JAX's async dispatch.
         total, n = None, 0
         for batch in batches:
+            if preemption is not None and preemption.should_stop(n):
+                from dclip_tpu.train.preemption import Preempted
+
+                raise Preempted(
+                    f"preemption signal honored at step boundary {n}"
+                )
             metrics = self.train_step_on_batch(batch)
             total = metrics["loss"] if total is None else total + metrics["loss"]
             n += 1
@@ -240,12 +247,19 @@ class BaseTrainer:
         checkpoints: Optional[CheckpointManager] = None,
         logger: Optional[MetricsLogger] = None,
         start_epoch: int = 0,
+        preemption=None,
     ) -> Dict[str, list]:
+        """`preemption`: an installed train.preemption.PreemptionGuard.
+        A SIGTERM (TPU-VM maintenance/spot reclaim) then stops training at
+        the next step boundary, saves a tagged 'preempt' checkpoint, and
+        re-raises `Preempted` for the caller to exit cleanly."""
         history: Dict[str, list] = {"train_loss": [], "val_loss": []}
         try:
             for epoch in range(start_epoch, self._num_epochs()):
                 self._on_epoch_start(epoch)
-                train_loss = self.train_epoch(train_pipeline.epoch(epoch), logger)
+                train_loss = self.train_epoch(
+                    train_pipeline.epoch(epoch), logger, preemption=preemption
+                )
                 history["train_loss"].append(train_loss)
                 val_loss = (
                     self.validate(val_pipeline.epoch(epoch))
@@ -270,9 +284,12 @@ class BaseTrainer:
             if checkpoints is not None:
                 checkpoints.save_interrupt(self.state, int(self.state.step), "interrupt")
             raise
-        except Exception:
+        except Exception as e:
+            from dclip_tpu.train.preemption import Preempted
+
             if checkpoints is not None:
-                checkpoints.save_interrupt(self.state, int(self.state.step), "error")
+                kind = "preempt" if isinstance(e, Preempted) else "error"
+                checkpoints.save_interrupt(self.state, int(self.state.step), kind)
             raise
         return history
 

@@ -268,7 +268,10 @@ class DistillTrainer(BaseTrainer):
         # from the same pretrained weights).
         self._patch_encode_compact_steps: Dict[int, Any] = {}
         self._teacher_tail_step = jax.jit(self._teacher_tail)
-        self._train_step = make_train_step(self._student_loss, self.tx, donate=False)
+        self._train_step = make_train_step(
+            self._student_loss, self.tx, donate=False,
+            trainable_mask=self._trainable_mask,
+        )
         self._eval_loss = jax.jit(self._loss)
         self._batch_sharding = batch_sharding(self.mesh, cfg.mesh.data_axis)
         self.teacher_cache = teacher_cache
@@ -414,6 +417,7 @@ class DistillTrainer(BaseTrainer):
         )
         n_train, n_total = count_trainable(mask)
         print(f"Student trainable leaves: {n_train}/{n_total}")
+        self._trainable_mask = mask
         self.tx = make_optimizer(
             self.cfg.learning_rate,
             mask,
@@ -762,7 +766,8 @@ class DistillTrainer(BaseTrainer):
                 opt_state=self.tx.init(placed),
             )
             self._train_step = make_train_step(
-                self._student_loss, self.tx, donate=False
+                self._student_loss, self.tx, donate=False,
+                trainable_mask=self._trainable_mask,
             )
             # _eval_loss closes over self.student at trace time; a stale
             # jit cache would keep evaluating the pre-unfreeze module.

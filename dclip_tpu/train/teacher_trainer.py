@@ -119,7 +119,11 @@ class TeacherTrainer(BaseTrainer):
         self.state = TrainState.create(teacher_params, self.tx)
         self.clip_variables = clip_variables
         self._put_replicated()
-        self._train_step = make_train_step(self._loss, self.tx)
+        # Differentiate only the trainable (cross-attention) leaves: the
+        # frozen remainder enters as closure constants so XLA DCEs their
+        # weight-gradient GEMMs (see optim.make_train_step).
+        self._train_step = make_train_step(self._loss, self.tx,
+                                           trainable_mask=mask)
         self._eval_loss = jax.jit(self._loss)
         self._batch_sharding = batch_sharding(self.mesh, cfg.mesh.data_axis)
         self._patch_jits: Dict[int, Any] = {}

@@ -231,3 +231,60 @@ def test_checkpoint_duplicate_filename_replaces_entry(tmp_path):
         mgr.save(state, step=s, epoch=s, metrics={"val_loss": 0.1 * s})
     for e in mgr._index:
         assert os.path.exists(e["path"]), e["path"]
+
+
+def test_make_train_step_trainable_mask_matches_full_backward():
+    """`trainable_mask` must be a pure compute optimization: the training
+    trajectory (params, opt state, metrics) is bit-identical to the full
+    value_and_grad step, and the masked backward really produces zero
+    grads for frozen leaves."""
+    from dclip_tpu.train import make_train_step
+
+    params = _params()
+    mask = student_trainable_mask(params)
+
+    def loss_fn(p, x):
+        h = x @ p["vision_model"]["encoder"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
+        h = h @ p["vision_model"]["encoder"]["layers_0"]["mlp"]["fc1"]["kernel"]
+        h = h @ p["vision_model"]["patch_embedding"]["kernel"]
+        h = h @ p["visual_projection"]["kernel"]
+        emb = p["text_model"]["token_embedding"]["embedding"]
+        loss = jnp.sum(h * p["logit_scale"]) + jnp.sum(emb**2)
+        return loss, {"loss": loss}
+
+    tx = make_optimizer(1e-2, mask, kind="adamw", grad_clip=0.5)
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 2), jnp.float32)
+
+    full = make_train_step(loss_fn, tx, donate=False)
+    masked = make_train_step(loss_fn, tx, donate=False, trainable_mask=mask)
+    s_full = TrainState.create(params, tx)
+    s_masked = TrainState.create(params, tx)
+    for _ in range(3):
+        s_full, m_full = full(s_full, x)
+        s_masked, m_masked = masked(s_masked, x)
+        np.testing.assert_array_equal(
+            np.asarray(m_full["loss"]), np.asarray(m_masked["loss"])
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_full.params),
+        jax.tree_util.tree_leaves(s_masked.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Frozen leaves really get zero cotangents in the masked backward.
+    def masked_loss(p):
+        merged = jax.tree_util.tree_map(
+            lambda m, t, f: t if m else f, mask, p, params
+        )
+        return loss_fn(merged, x)[0]
+
+    grads = jax.grad(masked_loss)(params)
+    assert not np.any(
+        np.asarray(grads["vision_model"]["encoder"]["layers_0"]["mlp"]["fc1"]["kernel"])
+    )
+    assert not np.any(np.asarray(grads["vision_model"]["patch_embedding"]["kernel"]))
+    assert np.any(
+        np.asarray(
+            grads["vision_model"]["encoder"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
+        )
+    )
