@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import socket
 import subprocess
 import sys
@@ -222,6 +223,79 @@ def test_two_process_distill_step_matches_single_process(
     for _ in range(steps):
         want = float(trainer.train_step_on_batch(batch)["loss"])
     np.testing.assert_allclose(r0["loss"], want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_multihost_cli_preemption_lockstep(tmp_path):
+    """SIGTERM ONE of two real processes mid-training: the guard's
+    all-gather agreement must stop BOTH at the same step boundary (a
+    unilateral stop would hang the peer inside the next collective and
+    time this test out), save one `.preempt.` checkpoint on process 0,
+    and exit 0 from both CLIs."""
+    import time
+
+    from PIL import Image
+
+    rng = np.random.RandomState(4)
+    items = []
+    for i in range(16):
+        p = str(tmp_path / f"p{i}.png")
+        Image.fromarray(rng.randint(0, 255, (36, 28, 3), np.uint8)).save(p)
+        items.append({"image_path": p, "captions": [f"thing {i}"],
+                      "dataset": "t", "boxes": []})
+    train = tmp_path / "pre_train.json"
+    train.write_text(json.dumps(items))
+    ckpt_dir = tmp_path / "ckpts"
+    port = _free_port()
+    procs = []
+    for pid in (0, 1):
+        env = {
+            k: v for k, v in os.environ.items()
+            if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
+        }
+        env.update({
+            "PYTHONPATH": REPO,
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "DCLIP_COORDINATOR": f"127.0.0.1:{port}",
+            "DCLIP_NUM_PROCESSES": "2",
+            "DCLIP_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "dclip_tpu.cli.train_distill",
+             "--multihost", "--train_file", str(train),
+             "--train_batch_size", "8", "--phase1_epochs", "300",
+             "--checkpoint_dir", str(ckpt_dir),
+             "--metrics_csv", str(tmp_path / f"metrics_{pid}.csv"),
+             "--teacher_image_size", "32", "--max_patches", "2",
+             "--model_preset", "tiny"],
+            env=env, cwd=str(tmp_path),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    # Wait for the first per-epoch checkpoint (fit() is definitely inside
+    # the guard by then), then preempt ONLY process 0.
+    deadline = time.monotonic() + 300
+    while time.monotonic() < deadline:
+        if ckpt_dir.is_dir() and any(
+            f.endswith(".msgpack") for f in os.listdir(ckpt_dir)
+        ):
+            break
+        if any(p.poll() is not None for p in procs):
+            break  # fall through to the returncode asserts with stderr
+        time.sleep(0.05)
+    procs[0].send_signal(signal.SIGTERM)
+    outs = []
+    for pid, p in enumerate(procs):
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"p{pid} rc={p.returncode}:\n{err[-4000:]}"
+        outs.append(out)
+    # BOTH processes took the graceful path (agreement, not unilateral).
+    for pid, out in enumerate(outs):
+        assert "Preempted (SIGTERM)" in out, f"p{pid} stdout:\n{out[-2000:]}"
+    preempt = [f for f in os.listdir(ckpt_dir) if ".preempt." in f]
+    assert len(preempt) == 1, os.listdir(ckpt_dir)
+    # 300 epochs did NOT run to completion: the stop really was early.
+    assert "Best model" not in outs[0]
 
 
 @pytest.mark.slow
