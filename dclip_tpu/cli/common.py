@@ -138,3 +138,54 @@ def restore_student_params(checkpoint: str, template_params):
     if isinstance(raw, dict) and "params" in raw:  # full TrainState file
         raw = raw["params"]
     return flax.serialization.from_state_dict(template_params, raw)
+
+
+def init_multihost() -> None:
+    """jax.distributed init for `--multihost` runs.
+
+    Must run before the first backend touch (load_clip compiles). On TPU
+    pods the argless form auto-discovers the topology; off-pod (tests,
+    custom clusters) the DCLIP_COORDINATOR / DCLIP_NUM_PROCESSES /
+    DCLIP_PROCESS_ID env triple spells it out — and must be set together
+    (a partial triple gets an explicit error, not a KeyError)."""
+    import os
+
+    coord = os.environ.get("DCLIP_COORDINATOR")
+    if coord:
+        missing = [k for k in ("DCLIP_NUM_PROCESSES", "DCLIP_PROCESS_ID")
+                   if not os.environ.get(k)]
+        if missing:
+            raise SystemExit(
+                "DCLIP_COORDINATOR is set but " + ", ".join(missing)
+                + " is not — the multihost env triple (DCLIP_COORDINATOR, "
+                "DCLIP_NUM_PROCESSES, DCLIP_PROCESS_ID) must be set together"
+            )
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["DCLIP_NUM_PROCESSES"]),
+            process_id=int(os.environ["DCLIP_PROCESS_ID"]),
+        )
+    else:
+        jax.distributed.initialize()
+
+
+def fit_with_preemption(
+    trainer, train_pipe, val_pipe, checkpoints, logger, start_epoch: int = 0
+) -> bool:
+    """Run trainer.fit under a PreemptionGuard; True if preempted.
+
+    A SIGTERM (TPU-VM maintenance/spot reclaim) stops training at the next
+    step boundary, saves a tagged 'preempt' checkpoint, and returns True
+    so CLIs exit 0 — supervisors treat it as a graceful shutdown and a
+    later `--resume` restarts from the last epoch checkpoint."""
+    from dclip_tpu.train.preemption import Preempted, PreemptionGuard
+
+    try:
+        with PreemptionGuard() as guard:
+            trainer.fit(train_pipe, val_pipe, checkpoints=checkpoints,
+                        logger=logger, start_epoch=start_epoch,
+                        preemption=guard)
+    except Preempted as e:
+        print(f"Preempted (SIGTERM): {e}; state saved, exiting cleanly")
+        return True
+    return False

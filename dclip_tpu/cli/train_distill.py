@@ -155,22 +155,9 @@ def load_teacher_params(path, teacher_cfg, clip_cfg, seed):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.multihost:
-        import os as _os
+        from dclip_tpu.cli.common import init_multihost
 
-        import jax
-
-        # Must run before the first backend touch (load_clip compiles).
-        # On TPU pods the argless form auto-discovers the topology; off-pod
-        # (tests, custom clusters) the DCLIP_COORDINATOR/_NUM_PROCESSES/
-        # _PROCESS_ID env triple spells it out.
-        if _os.environ.get("DCLIP_COORDINATOR"):
-            jax.distributed.initialize(
-                coordinator_address=_os.environ["DCLIP_COORDINATOR"],
-                num_processes=int(_os.environ["DCLIP_NUM_PROCESSES"]),
-                process_id=int(_os.environ["DCLIP_PROCESS_ID"]),
-            )
-        else:
-            jax.distributed.initialize()
+        init_multihost()
     teacher_clip_cfg, _, teacher_clip_vars = load_clip(
         args.model_preset, args.clip_weights, args.seed
     )
@@ -315,18 +302,10 @@ def main(argv=None) -> int:
         # Every process holds identical replicated state; exactly one
         # persists it (and the metrics CSV).
         ckpts, logger = None, None
-    from dclip_tpu.train.preemption import Preempted, PreemptionGuard
+    from dclip_tpu.cli.common import fit_with_preemption
 
-    try:
-        with PreemptionGuard() as guard:
-            trainer.fit(train_pipe, val_pipe, checkpoints=ckpts,
-                        logger=logger, start_epoch=start_epoch,
-                        preemption=guard)
-    except Preempted as e:
-        # Graceful shutdown: the preempt checkpoint is saved; supervisors
-        # restart with --resume from the last epoch checkpoint.
-        print(f"Preempted (SIGTERM): {e}; state saved, exiting cleanly")
-        return 0
+    fit_with_preemption(trainer, train_pipe, val_pipe, ckpts, logger,
+                        start_epoch)
     return 0
 
 

@@ -192,6 +192,13 @@ _WORKER_PIPELINE: Optional["MultiModalPipeline"] = None
 
 
 def _worker_init(pipeline: "MultiModalPipeline") -> None:
+    # NOTE: workers deliberately keep default signal dispositions. A
+    # process-GROUP SIGTERM (SLURM, `kill -- -PID`) kills them before the
+    # parent's PreemptionGuard reaches a step boundary — that case is
+    # handled upstream: BaseTrainer.fit reclassifies any pipeline failure
+    # that follows a seen preemption signal as Preempted (graceful path).
+    # Ignoring SIGTERM here instead would deadlock Pool.terminate(), whose
+    # worker reaping IS a SIGTERM.
     global _WORKER_PIPELINE
     _WORKER_PIPELINE = pipeline
 
@@ -340,12 +347,24 @@ class MultiModalPipeline:
         to the PIL route, so `decode_backend="native"` never changes WHICH
         items load, only how fast. The call releases the GIL, so the
         epoch's ThreadPoolExecutor gets real multi-core decode parallelism
-        without the spawn process pool."""
+        without the spawn process pool.
+
+        Items the native path can never serve must not pay a full read
+        before the PIL route re-reads the file: the library verdict is
+        checked first (latched after one failed build, so a toolchain-less
+        host doesn't double-read EVERY item of every epoch), and the
+        2-byte JPEG SOI magic is sniffed before committing to the full
+        read + decode (PNG/CMYK corpora mix cheaply)."""
         from dclip_tpu import native
 
+        if not native.jpeg_available():
+            return None
         try:
             with open(path, "rb") as f:
-                data = f.read()
+                head = f.read(2)
+                if head != b"\xff\xd8":  # not a JPEG: PIL route directly
+                    return None
+                data = head + f.read()
         except OSError:
             return None
         return native.decode_preprocess(

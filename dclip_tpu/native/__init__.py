@@ -27,17 +27,33 @@ _jpeg_lib: Optional[ctypes.CDLL] = None
 _jpeg_tried = False
 
 
-def _compile() -> bool:
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        "-o", _LIB_PATH, _SRC, "-lpthread",
-    ]
+def _build_so(lib_path: str, flags: List[str], what: str) -> bool:
+    """Build to a per-process temp path, then atomically rename into
+    place. g++ writes its output incrementally, so multiple processes
+    (spawned pipeline workers, the two sides of a --multihost run) racing
+    an on-demand build against the SAME final path could CDLL a
+    half-linked file — or leave a corrupt .so whose fresh mtime suppresses
+    every future rebuild. os.replace is atomic on POSIX: the final path
+    only ever names a complete library, and concurrent builders just
+    overwrite each other with identical results."""
+    tmp = f"{lib_path}.tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp,
+           *flags]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, lib_path)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError) as e:
-        print(f"dclip_native build failed ({e}); using pure-Python fallbacks")
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
+        print(f"{what} build failed ({e}); using fallbacks")
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
+
+
+def _compile() -> bool:
+    return _build_so(_LIB_PATH, [_SRC, "-lpthread"], "dclip_native")
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -108,16 +124,11 @@ def _load_jpeg() -> Optional[ctypes.CDLL]:
         ) < os.path.getmtime(_JPEG_SRC):
             # -march=native is safe here: the .so is built on demand on
             # the machine that runs it (never shipped).
-            cmd = [
-                "g++", "-O3", "-march=native", "-funroll-loops",
-                "-std=c++17", "-shared", "-fPIC",
-                "-o", _JPEG_LIB_PATH, _JPEG_SRC, "-ljpeg",
-            ]
-            try:
-                subprocess.run(cmd, check=True, capture_output=True,
-                               timeout=120)
-            except (subprocess.SubprocessError, FileNotFoundError) as e:
-                print(f"dclip_jpeg build failed ({e}); PIL decode only")
+            if not _build_so(
+                _JPEG_LIB_PATH,
+                ["-march=native", "-funroll-loops", _JPEG_SRC, "-ljpeg"],
+                "dclip_jpeg",
+            ):
                 return None
         try:
             lib = ctypes.CDLL(_JPEG_LIB_PATH)

@@ -27,7 +27,9 @@
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 #include <jpeglib.h>
@@ -173,8 +175,15 @@ int dcj_decode_preprocess(const uint8_t* data, size_t len, int student_size,
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = on_error;
   jerr.pub.output_message = on_message;
+  // The frame buffer is a malloc'd pointer declared VOLATILE and BEFORE
+  // the setjmp: a libjpeg error inside the scanline loop longjmps back
+  // here, which both skips destructors (a std::vector constructed after
+  // the setjmp would leak w*h*3 bytes per corrupt image, every epoch)
+  // and leaves non-volatile locals modified since setjmp indeterminate.
+  uint8_t* volatile frame = nullptr;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
+    std::free(frame);
     return 2;
   }
   jpeg_create_decompress(&cinfo);
@@ -208,13 +217,20 @@ int dcj_decode_preprocess(const uint8_t* data, size_t len, int student_size,
     jpeg_destroy_decompress(&cinfo);
     return 5;
   }
-  std::vector<uint8_t> frame(static_cast<size_t>(w) * h * 3);
+  frame = static_cast<uint8_t*>(std::malloc(static_cast<size_t>(w) * h * 3));
+  if (!frame) {
+    jpeg_destroy_decompress(&cinfo);
+    return 6;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* rowp = frame.data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
+    uint8_t* rowp = frame + static_cast<size_t>(cinfo.output_scanline) * w * 3;
     jpeg_read_scanlines(&cinfo, &rowp, 1);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
+  // No libjpeg calls (hence no longjmp) past this point: RAII owns the
+  // frame for the resample stages below.
+  std::unique_ptr<uint8_t, void (*)(void*)> frame_guard(frame, &std::free);
 
   // ---- student: shortest-side bicubic resize + center crop --------------
   // HF geometry (pipeline.resize_crop_uint8): shortest edge -> S, long
@@ -234,7 +250,7 @@ int dcj_decode_preprocess(const uint8_t* data, size_t len, int student_size,
     Coeffs cx = make_coeffs(w, nw, left, S, /*bicubic=*/true);
     Coeffs cy = make_coeffs(h, nh, top, S, /*bicubic=*/true);
     std::vector<float> tmp(static_cast<size_t>(h) * S * 3);
-    resample_h(frame.data(), h, w, cx, tmp.data(), S);
+    resample_h(frame_guard.get(), h, w, cx, tmp.data(), S);
     std::vector<float> res(static_cast<size_t>(S) * S * 3);
     resample_v(tmp.data(), h, S, cy, res.data(), S);
     const float m0 = mean ? mean[0] : 0.f, m1 = mean ? mean[1] : 0.f,
@@ -257,7 +273,7 @@ int dcj_decode_preprocess(const uint8_t* data, size_t len, int student_size,
     Coeffs cx = make_coeffs(w, T, 0, T, /*bicubic=*/false);
     Coeffs cy = make_coeffs(h, T, 0, T, /*bicubic=*/false);
     std::vector<float> tmp(static_cast<size_t>(h) * T * 3);
-    resample_h(frame.data(), h, w, cx, tmp.data(), T);
+    resample_h(frame_guard.get(), h, w, cx, tmp.data(), T);
     std::vector<float> res(static_cast<size_t>(T) * T * 3);
     resample_v(tmp.data(), h, T, cy, res.data(), T);
     for (size_t i = 0; i < static_cast<size_t>(T) * T * 3; ++i)

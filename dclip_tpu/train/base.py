@@ -287,9 +287,23 @@ class BaseTrainer:
         except Exception as e:
             from dclip_tpu.train.preemption import Preempted
 
+            # A process-GROUP SIGTERM (SLURM, `kill -- -PID`, some TPU-VM
+            # maintenance scripts) also kills spawned pipeline workers,
+            # whose death surfaces as a pool/IO error BEFORE the guard's
+            # step-boundary check runs. If the signal was seen, that
+            # failure IS the preemption: take the graceful path (tagged
+            # checkpoint + Preempted so CLIs exit 0), not a crash report.
+            preempted = isinstance(e, Preempted) or (
+                preemption is not None and preemption.requested
+            )
             if checkpoints is not None:
-                kind = "preempt" if isinstance(e, Preempted) else "error"
+                kind = "preempt" if preempted else "error"
                 checkpoints.save_interrupt(self.state, int(self.state.step), kind)
+            if preempted and not isinstance(e, Preempted):
+                raise Preempted(
+                    "preemption signal seen; pipeline failed before the "
+                    f"next step boundary ({type(e).__name__}: {e})"
+                ) from e
             raise
         return history
 

@@ -15,13 +15,34 @@ HBM and address them with device gathers instead of host I/O.
 
 Scope: single-device meshes (the buffer is unsharded; under dp>1 rows
 would live on one device while the step wants them batch-sharded — the
-host cache remains the multi-device path). Capacity is a byte budget;
-once full, new rows are simply not inserted (the host levels still
-serve them), so the cache never evicts and never grows past the budget.
+host cache remains the multi-device path). Capacity is a byte budget.
+Past the budget the two key populations want opposite policies, so
+eviction is a constructor flag:
+
+- `evict=False` (default; the patch-embedding level): keys are stable
+  per example and every epoch scans all of them in order. Fill-once is
+  OPTIMAL here — the first `capacity` examples hit every epoch, while
+  FIFO/LRU under a sequential scan larger than the cache evicts every
+  row right before its reuse and hits ~never.
+- `evict=True` (the full-target level): keys embed the sampled caption,
+  so each epoch's drawn key only matches if some past epoch drew the
+  same caption. Old draws lose value over time; FIFO reuse of the
+  oldest rows keeps the buffer populated with recent draws instead of
+  filling once with epoch-0 keys and serving ~zero hits forever.
+
+Placement: pass the trainer's batch `NamedSharding` (not a bare device)
+so gathered rows carry the SAME sharding as the miss/host-hit paths —
+jit caches key on input shardings, and a `SingleDeviceSharding` hit
+feeding a step first traced with `NamedSharding` inputs would silently
+recompile the heaviest jit in the program a second time.
+
+Puts run through a jitted scatter that DONATES the buffer, so the
+update is in place in HBM — an eager `.at[].set()` would copy the
+entire (up to budget-sized) buffer on every insert.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -59,25 +80,44 @@ class DeviceTargetCache:
         capacity_bytes: int,
         device,
         min_rows: int = 1024,
+        evict: bool = False,
     ):
         self.row_shape = tuple(int(s) for s in row_shape)
         self.dtype = jnp.dtype(dtype)
         row_bytes = int(np.prod(self.row_shape)) * self.dtype.itemsize
         self.capacity_rows = max(int(capacity_bytes // max(row_bytes, 1)), 0)
-        self.device = device
+        if isinstance(device, jax.sharding.Sharding):
+            self._sharding = device
+        else:
+            self._sharding = jax.sharding.SingleDeviceSharding(device)
+        self.evict = bool(evict)
         self._min_rows = min_rows
-        self._rows: dict = {}
+        self._rows: dict = {}  # key -> row index; insertion order = FIFO age
+        self._free: list = []  # rows of evicted keys, reused before _next
         self._next = 0
         self._buf: Optional[jnp.ndarray] = None
         self.hits = 0
         self.misses = 0
         self.skipped_puts = 0
+        self.evictions = 0
+        # Buffer growth changes the buf shape, so these recompile
+        # log2(capacity/min_rows) times over the cache's lifetime — cheap
+        # gather/scatter compiles, not the training step.
+        self._gather = jax.jit(
+            lambda buf, idx: jnp.take(buf, idx, axis=0),
+            out_shardings=self._sharding,
+        )
+        self._scatter = jax.jit(
+            lambda buf, idx, v: buf.at[idx].set(v.astype(buf.dtype)),
+            out_shardings=self._sharding,
+            donate_argnums=(0,),
+        )
 
     def __len__(self) -> int:
-        return self._next
+        return len(self._rows)
 
     def _ensure(self, n_new: int) -> bool:
-        need = self._next + n_new
+        need = self._next + max(n_new - len(self._free), 0)
         if need > self.capacity_rows:
             return False
         cur = 0 if self._buf is None else self._buf.shape[0]
@@ -85,7 +125,7 @@ class DeviceTargetCache:
             return True
         new = min(self.capacity_rows, max(need, cur * 2, self._min_rows))
         grown = jax.device_put(
-            jnp.zeros((new, *self.row_shape), self.dtype), self.device
+            jnp.zeros((new, *self.row_shape), self.dtype), self._sharding
         )
         if self._buf is not None:
             grown = grown.at[:cur].set(self._buf)
@@ -102,23 +142,48 @@ class DeviceTargetCache:
                 return None
             idx[j] = r
         self.hits += 1
-        return jnp.take(self._buf, jax.device_put(idx, self.device), axis=0)
+        return self._gather(self._buf, idx)
+
+    def _make_room(self, keys, n_new: int) -> bool:
+        """True if `n_new` fresh rows can be assigned, evicting FIFO
+        victims (oldest keys not in this batch) when allowed."""
+        spare = (self.capacity_rows - self._next) + len(self._free)
+        if n_new <= spare:
+            return self._ensure(n_new)
+        if not self.evict:
+            return False
+        batch = set(keys)
+        victims = []
+        need = n_new - spare
+        for k in self._rows:  # dict preserves insertion order: oldest first
+            if k not in batch:
+                victims.append(k)
+                if len(victims) == need:
+                    break
+        if len(victims) < need:  # batch alone exceeds capacity
+            return False
+        for k in victims:
+            self._free.append(self._rows.pop(k))
+        self.evictions += len(victims)
+        return self._ensure(n_new)
 
     def put(self, keys: Sequence, values) -> None:
         """Insert [B, *row_shape] device values. Rows for keys already
         present are overwritten (idempotent); if the budget cannot hold
-        the batch's new keys, nothing is inserted."""
-        new = {k for k in keys if k not in self._rows}
-        if not self._ensure(len(new)):
+        the batch's new keys (after eviction, when enabled), nothing is
+        inserted."""
+        new = len({k for k in keys if k not in self._rows})
+        if not self._make_room(keys, new):
             self.skipped_puts += 1
             return
         idx = np.empty(len(keys), np.int32)
         for j, k in enumerate(keys):
             r = self._rows.get(k)
             if r is None:
-                r = self._rows[k] = self._next
-                self._next += 1
+                r = self._free.pop() if self._free else self._next
+                if r == self._next:
+                    self._next += 1
+                self._rows[k] = r
             idx[j] = r
-        self._buf = self._buf.at[jax.device_put(idx, self.device)].set(
-            values.astype(self.dtype)
-        )
+        # Donated in-place scatter: self._buf's old buffer is consumed.
+        self._buf = self._scatter(self._buf, idx, values)

@@ -287,16 +287,21 @@ class DistillTrainer(BaseTrainer):
 
         if resolve_device_cache(self.mesh, cfg.device_target_cache, teacher_cache):
             budget = cfg.device_cache_mb * (1 << 20)
-            dev0 = self.mesh.devices.flat[0]
             d = cfg.teacher.embed_dim
             # Patch embeddings dominate bytes (P x D vs 2 x D) and are
             # the every-epoch hit level (full keys change with caption
-            # resampling) — give them 3/4 of the budget.
+            # resampling) — give them 3/4 of the budget. Placement is the
+            # batch sharding (NOT a bare device) so hit-path gathers carry
+            # the same sharding as the miss path and never retrace the
+            # student step; the full level evicts FIFO because its keys go
+            # stale as captions resample (device_cache.py docstring).
             self._dev_full = DeviceTargetCache(
-                (2, d), jnp.float32, budget // 4, dev0
+                (2, d), jnp.float32, budget // 4, self._batch_sharding,
+                evict=True,
             )
             self._dev_pe = DeviceTargetCache(
-                (cfg.teacher.max_patches, d), dtype, 3 * budget // 4, dev0
+                (cfg.teacher.max_patches, d), dtype, 3 * budget // 4,
+                self._batch_sharding,
             )
         # Compaction's batch-wide argsort gather would reshard full frames
         # across the data axis under dp>1 — costlier than the savings.
@@ -523,9 +528,16 @@ class DistillTrainer(BaseTrainer):
             compact=self._compact,
             image_features_fn=self._frozen_image_features,
         )
-        return self._maybe_knn_gate(
+        pe = self._maybe_knn_gate(
             pe, device_batch, self.cfg.teacher.similarity_threshold
         )
+        # Canonical pe sharding: the encode jit emits PartitionSpec() while
+        # the cache-hit paths (host put_sharded / device gather) emit the
+        # batch sharding — jit caches key on input shardings, so without
+        # this the first pe-level cache hit would silently retrace the
+        # teacher tail. On one device this device_put is free; under dp>1
+        # batch-sharded is the layout the tail wants anyway.
+        return jax.device_put(pe, self._batch_sharding)
 
     def _student_loss(self, params, teacher_img, teacher_txt, batch):
         student_img = self.student.apply(

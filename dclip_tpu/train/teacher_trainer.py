@@ -154,11 +154,14 @@ class TeacherTrainer(BaseTrainer):
         )
 
         if resolve_device_cache(self.mesh, cfg.device_target_cache, pe_cache):
+            # Batch sharding (not a bare device): hit-path gathers must
+            # carry the same sharding as the miss path or the loss jits
+            # would retrace on the first hit (device_cache.py docstring).
             self._dev_pe = DeviceTargetCache(
                 (cfg.teacher.max_patches, cfg.teacher.embed_dim),
                 jnp.dtype(cfg.compute_dtype),
                 cfg.device_cache_mb * (1 << 20),
-                self.mesh.devices.flat[0],
+                self._batch_sharding,
             )
 
     def _put_replicated(self):
@@ -257,6 +260,10 @@ class TeacherTrainer(BaseTrainer):
         pe = self._maybe_knn_gate(
             pe, device_batch, self.cfg.teacher.similarity_threshold
         )
+        # Canonical pe sharding — see distill_trainer._encode_patches_budgeted:
+        # cache-hit paths emit the batch sharding; the encode jit emits
+        # PartitionSpec(), which would retrace the loss jits on first hit.
+        pe = jax.device_put(pe, self._batch_sharding)
         if keys is not None:
             self.pe_cache.put_batch(keys, local_rows(pe))
             if self._dev_pe is not None:

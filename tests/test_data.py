@@ -431,6 +431,8 @@ def test_pipeline_num_workers_deterministic(tmp_path):
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
+
+
 def test_starvation_monitor_warns_with_suggestion():
     """Synthetic rates (VERDICT r2 weak #7): decode supply 55 img/s vs a
     314 img/s chip must produce one actionable --num_workers line; a

@@ -100,6 +100,22 @@ def test_pipeline_shard_validation(tmp_path):
                            shard_index=0, drop_remainder=False)
 
 
+def test_init_multihost_partial_env_triple_is_explicit(monkeypatch):
+    """DCLIP_COORDINATOR without the rest of the triple: an actionable
+    SystemExit naming the missing variables, not a raw KeyError."""
+    from dclip_tpu.cli.common import init_multihost
+
+    monkeypatch.setenv("DCLIP_COORDINATOR", "127.0.0.1:1234")
+    monkeypatch.delenv("DCLIP_NUM_PROCESSES", raising=False)
+    monkeypatch.setenv("DCLIP_PROCESS_ID", "0")
+    with pytest.raises(SystemExit, match="DCLIP_NUM_PROCESSES"):
+        init_multihost()
+    monkeypatch.setenv("DCLIP_NUM_PROCESSES", "2")
+    monkeypatch.setenv("DCLIP_PROCESS_ID", "")  # empty counts as unset
+    with pytest.raises(SystemExit, match="DCLIP_PROCESS_ID"):
+        init_multihost()
+
+
 def _free_port():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

@@ -117,6 +117,57 @@ def test_fit_preempted_saves_tagged_checkpoint_and_unwinds(
     assert ckpts.latest() is None
 
 
+class DyingWorkersPipeline(FakePipeline):
+    """Simulates a process-group SIGTERM: the signal lands AND the spawned
+    decode workers die, so the next batch fetch raises a pool error before
+    any step-boundary check ran."""
+
+    def __init__(self, clip_cfg, n_batches, die_after, send_signal=True):
+        super().__init__(clip_cfg, n_batches)
+        self.die_after = die_after
+        self.send_signal = send_signal
+
+    def epoch(self, epoch):
+        for i, b in enumerate(self.batches):
+            if epoch == 0 and i == self.die_after:
+                if self.send_signal:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                raise OSError("worker pool died (simulated group SIGTERM)")
+            yield b
+
+
+def test_group_sigterm_pipeline_death_takes_graceful_path(
+    clip_setup, cpu_devices, tmp_path
+):
+    """A pipeline failure AFTER the preemption signal is the preemption,
+    not a crash: fit reclassifies it as Preempted and tags the checkpoint
+    'preempt' (so CLIs exit 0 and supervisors see a graceful shutdown)."""
+    clip_cfg, clip_vars = clip_setup
+    cfg = TeacherTrainConfig(
+        epochs=2, batch_size=B, learning_rate=1e-3,
+        teacher=_tiny_teacher_cfg(clip_cfg), clip_model="tiny",
+    )
+    mesh = make_mesh(MeshConfig(), devices=cpu_devices)
+    trainer = TeacherTrainer(cfg, clip_vars, clip_cfg, mesh=mesh)
+    ckpts = CheckpointManager(str(tmp_path), prefix="teacher")
+    pipe = DyingWorkersPipeline(clip_cfg, n_batches=3, die_after=2)
+
+    with PreemptionGuard() as guard:
+        with pytest.raises(Preempted, match="pipeline failed"):
+            trainer.fit(pipe, pipe, checkpoints=ckpts, preemption=guard)
+    entries = [e for e in ckpts._index if e.get("tag") == "preempt"]
+    assert len(entries) == 1 and entries[0]["step"] == 2
+    # Without the signal, the same failure stays an 'error' crash.
+    trainer2 = TeacherTrainer(cfg, clip_vars, clip_cfg, mesh=mesh)
+    ckpts2 = CheckpointManager(str(tmp_path / "e"), prefix="teacher")
+    pipe2 = DyingWorkersPipeline(clip_cfg, n_batches=3, die_after=2,
+                                 send_signal=False)
+    with PreemptionGuard() as guard2:
+        with pytest.raises(OSError):
+            trainer2.fit(pipe2, pipe2, checkpoints=ckpts2, preemption=guard2)
+    assert [e["tag"] for e in ckpts2._index if e.get("tag")] == ["error"]
+
+
 def test_fit_without_guard_unaffected(clip_setup, cpu_devices, tmp_path):
     """No guard installed: SIGTERM keeps its default (fatal) semantics —
     pin only that fit() runs to completion with preemption=None."""

@@ -832,7 +832,8 @@ def test_distill_fused_text_mlp_opt_in(distill_setup, cpu_mesh):
 
 def test_device_target_cache_unit():
     """Roundtrip, growth, all-or-nothing miss, idempotent overwrite, and
-    the capacity stop (no eviction: past budget, puts are skipped)."""
+    the capacity stop (default evict=False: past budget, puts are
+    skipped — optimal for stable keys scanned every epoch)."""
     import jax as _jax
 
     from dclip_tpu.train.device_cache import DeviceTargetCache
@@ -867,6 +868,62 @@ def test_device_target_cache_unit():
     # Exactly-at-capacity insert still lands.
     c.put(["f"], vals[:1])
     assert len(c) == 6
+
+
+def test_device_target_cache_fifo_eviction():
+    """evict=True (the caption-resampled full level): past budget, the
+    OLDEST keys not in the current batch are evicted and their rows
+    reused; a batch bigger than the whole cache is skipped outright."""
+    import jax as _jax
+
+    from dclip_tpu.train.device_cache import DeviceTargetCache
+
+    dev = _jax.devices("cpu")[0]
+    row = (2, 4)
+    row_bytes = 2 * 4 * 4
+    c = DeviceTargetCache(row, jnp.float32, capacity_bytes=4 * row_bytes,
+                          device=dev, min_rows=2, evict=True)
+    vals = jnp.arange(4 * 2 * 4, dtype=jnp.float32).reshape(4, 2, 4)
+    c.put(["a", "b", "c", "d"], vals)
+    assert len(c) == 4 and c.evictions == 0
+    # Two new keys: evicts the two oldest ("a", "b"), reuses their rows.
+    c.put(["e", "f"], vals[:2] + 50.0)
+    assert len(c) == 4 and c.evictions == 2 and c.skipped_puts == 0
+    assert c.get(["a"]) is None and c.get(["b"]) is None
+    np.testing.assert_array_equal(
+        np.asarray(c.get(["e", "f"])), np.asarray(vals[:2] + 50.0)
+    )
+    # Survivors are intact (their rows were not the reused ones).
+    np.testing.assert_array_equal(
+        np.asarray(c.get(["c", "d"])), np.asarray(vals[2:4])
+    )
+    # In-batch keys are never chosen as victims: "c" stays writable while
+    # "d" (older than "g"'s need) is evicted.
+    c.put(["c", "g"], vals[:2])
+    assert c.get(["d"]) is None
+    np.testing.assert_array_equal(np.asarray(c.get(["c"])), np.asarray(vals[:1]))
+    # A batch of new keys larger than the whole cache: skipped, not thrashed.
+    before = dict(c._rows)
+    c.put(["p", "q", "r", "s", "t"], jnp.zeros((5, 2, 4), jnp.float32))
+    assert c._rows == before and c.skipped_puts == 1
+
+
+def test_device_target_cache_sharding_passthrough(cpu_devices):
+    """Constructed with a NamedSharding, gathers carry THAT sharding (so
+    trainer-hit paths never retrace jits first traced on the miss path)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from dclip_tpu.parallel.mesh import make_mesh
+    from dclip_tpu.train.device_cache import DeviceTargetCache
+
+    mesh = make_mesh(MeshConfig(data_parallel=1, model_parallel=1),
+                     devices=cpu_devices[:1])
+    sh = NamedSharding(mesh, PartitionSpec("data"))
+    c = DeviceTargetCache((3,), jnp.float32, capacity_bytes=1 << 16,
+                          device=sh, min_rows=2)
+    c.put(["a", "b"], jnp.ones((2, 3), jnp.float32))
+    got = c.get(["b", "a"])
+    assert got.sharding == sh
 
 
 def test_distill_device_cache_matches_host_path(distill_setup, cpu_devices):
@@ -907,6 +964,9 @@ def test_distill_device_cache_matches_host_path(distill_setup, cpu_devices):
     m2h = t_host.train_step_on_batch(batch)
     assert t_dev._dev_full.hits == hits0 + 1
     np.testing.assert_allclose(float(m2d["loss"]), float(m2h["loss"]), rtol=1e-6)
+    # The device-hit targets carry the SAME sharding as the miss path:
+    # the student step (the heaviest compile) must not retrace on a hit.
+    assert t_dev._train_step._cache_size() == 1
 
     # pe-level: wipe the full maps (device + host) so only the
     # caption-independent pe level can hit — the device pe gather must
@@ -922,6 +982,9 @@ def test_distill_device_cache_matches_host_path(distill_setup, cpu_devices):
     m3h = t_host.train_step_on_batch(batch)
     assert t_dev._dev_pe.hits == pe_hits0 + 1
     np.testing.assert_allclose(float(m3d["loss"]), float(m3h["loss"]), rtol=1e-6)
+    # pe-level hits feed the teacher tail without retracing it either.
+    assert t_dev._teacher_tail_step._cache_size() == 1
+    assert t_dev._train_step._cache_size() == 1
 
 
 def test_teacher_trainer_device_pe_cache(clip_setup, cpu_devices):
@@ -965,6 +1028,8 @@ def test_teacher_trainer_device_pe_cache(clip_setup, cpu_devices):
         b = float(t_dev.eval_loss_on_batch(batch))
         np.testing.assert_allclose(a, b, rtol=1e-6)
     assert t_dev._dev_pe.hits == hits0 + 2 and not host_gets
+    # Device-hit pe carries the canonical batch sharding: no retrace.
+    assert t_dev._eval_loss._cache_size() == 1
 
 
 def test_distill_device_cache_multi_device_disabled(distill_setup, cpu_mesh, capsys):
