@@ -263,13 +263,19 @@ class DistillTrainer(BaseTrainer):
         self._put_replicated()
         # The training step is split in two jits: teacher targets (frozen,
         # cacheable across epochs via `teacher_cache`) and the student
-        # update. donate=False on the student step because student params
-        # may alias the teacher-CLIP variables (e.g. student initialized
-        # from the same pretrained weights).
+        # update. The student step DONATES its TrainState (measured on
+        # v5e B/16 batch 256: 236.9 -> 221.9 ms cache-warm, +6.3%,
+        # because without donation apply_updates materializes a fresh copy
+        # of every frozen leaf each step). Donation invalidates the input
+        # buffers, so any student leaf that IS a teacher leaf (student
+        # initialized from the same tree) is copied once first.
+        self.state = self.state.replace(
+            params=self._decoupled_from_teacher(self.state.params)
+        )
         self._patch_encode_compact_steps: Dict[int, Any] = {}
         self._teacher_tail_step = jax.jit(self._teacher_tail)
         self._train_step = make_train_step(
-            self._student_loss, self.tx, donate=False,
+            self._student_loss, self.tx,
             trainable_mask=self._trainable_mask,
         )
         self._eval_loss = jax.jit(self._loss)
@@ -313,6 +319,26 @@ class DistillTrainer(BaseTrainer):
         self._init_knn_gate(knn_store, projection_params, cfg.teacher.embed_dim)
         if teacher_cache is not None and not teacher_cache.salt:
             teacher_cache.salt = self._teacher_fingerprint()
+
+    def _decoupled_from_teacher(self, params):
+        """Fresh buffers for the whole student param tree.
+
+        The donated student step frees its input buffers after every call.
+        When the student is initialized from the teacher's tree (the
+        common distill-from-pretrained setup), the two trees can share
+        underlying PJRT buffers even across DISTINCT jax.Array objects —
+        `device_put` of one source array twice returns two Arrays over one
+        buffer — so an id()/is-based aliasing check is insufficient; the
+        first donated step would leave the frozen teacher jits reading
+        deleted arrays. A jitted `a + 0` is a real computation (never
+        input-passthrough), so its outputs are guaranteed fresh buffers
+        with shardings preserved. One-time cost at construction/restore."""
+        fresh = jax.jit(
+            lambda t: jax.tree_util.tree_map(
+                lambda a: a + jnp.zeros((), a.dtype), t
+            )
+        )
+        return fresh(params)
 
     def _vision_mlp_frozen(self, params) -> bool:
         """True iff the CURRENT trainable mask excludes every vision
@@ -778,7 +804,7 @@ class DistillTrainer(BaseTrainer):
                 opt_state=self.tx.init(placed),
             )
             self._train_step = make_train_step(
-                self._student_loss, self.tx, donate=False,
+                self._student_loss, self.tx,
                 trainable_mask=self._trainable_mask,
             )
             # _eval_loss closes over self.student at trace time; a stale
@@ -821,7 +847,10 @@ class DistillTrainer(BaseTrainer):
             opt_state = replicate_tree(state.opt_state, self.mesh)
         return _TS(
             step=replicate_tree(state.step, self.mesh),
-            params=self._place_params(state.params),
+            # Decouple defensively: restored params are fresh host arrays in
+            # practice, but the donated step must never share a buffer with
+            # the teacher trees.
+            params=self._decoupled_from_teacher(self._place_params(state.params)),
             opt_state=opt_state,
         )
 

@@ -830,6 +830,33 @@ def test_distill_fused_text_mlp_opt_in(distill_setup, cpu_mesh):
 # -- HBM-resident level-0 teacher-target cache (train/device_cache.py) --------
 
 
+def test_distill_donation_decouples_teacher_aliases(distill_setup, cpu_mesh):
+    """The student step donates its TrainState, which frees the input
+    buffers after each call. When the student is initialized from the SAME
+    tree as the teacher CLIP (common: distill from the pretrained weights),
+    construction must copy the aliased leaves — otherwise the frozen
+    teacher jits would read deleted arrays on the next step. Pin buffer
+    disjointness and that teacher-path steps keep working after updates."""
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    # Device-commit ONE tree and hand it to both sides, so placement
+    # no-ops and the raw aliasing reaches the trainer.
+    committed = jax.device_put(clip_vars, jax.devices("cpu")[0])
+    trainer = DistillTrainer(
+        cfg, committed, committed, tparams, clip_cfg, clip_cfg, mesh=cpu_mesh
+    )
+    teacher_ids = {
+        id(l) for l in jax.tree_util.tree_leaves(trainer.teacher_clip_variables)
+    }
+    student_ids = {id(l) for l in jax.tree_util.tree_leaves(trainer.state.params)}
+    assert not (teacher_ids & student_ids)
+    # Two steps then an eval through the TEACHER path: with a shared
+    # buffer this is where deleted-array errors would surface.
+    pipe = FakePipeline(clip_cfg, 2)
+    trainer.fit(pipe, pipe)
+    batch = pipe.batches[0]
+    assert np.isfinite(trainer.eval_loss_on_batch(batch))
+
+
 def test_device_target_cache_unit():
     """Roundtrip, growth, all-or-nothing miss, idempotent overwrite, and
     the capacity stop (default evict=False: past budget, puts are
