@@ -13,10 +13,17 @@ vs_baseline = ours / 9.3.
 
 Extras reported alongside:
   mfu                       achieved matmul FLOP/s over v5e peak (analytic
-                            FLOPs, dclip_tpu.core.flops)
+                            FLOPs, dclip_tpu.core.flops; student backward
+                            counted at the conventional 2x forward)
+  mfu_masked_true           same measurement, honest "model FLOPs" (PaLM
+                            MFU convention) denominator: excludes backward
+                            GEMMs the default trainable mask provably
+                            skips (frozen vision MLP dW, dead patch-embed
+                            gradients) — core.flops.student_step_flops_masked
   cache_warm_images_per_sec throughput with the cross-epoch teacher-target
                             cache hot (epochs >= 1: student fwd/bwd only)
-  cache_warm_mfu            MFU of the cache-warm step
+  cache_warm_mfu            MFU of the cache-warm step (2x-forward conv.)
+  cache_warm_mfu_masked_true  cache-warm MFU, model-FLOPs denominator
   flops_per_image           analytic FLOPs of the uncached step / image
   note                      H2D excluded (one device_put; a real input
                             pipeline overlaps transfers)
@@ -264,6 +271,16 @@ def _run() -> dict:
         trainer.student_config, trainer.teacher_clip_config, teacher_cfg, batch
     )
     mfu_uncached = mfu(flops_uncached * n_steps / dt_uncached, platform, dtype)
+    # Honest "model FLOPs" MFU (PaLM convention): the denominator excludes
+    # backward GEMMs the default trainable mask provably never runs
+    # (frozen vision MLP dW etc.) — see core.flops.student_step_flops_masked.
+    mfu_uncached_true = mfu(
+        distill_step_flops(
+            trainer.student_config, trainer.teacher_clip_config, teacher_cfg,
+            batch, reference_mask=True,
+        ) * n_steps / dt_uncached,
+        platform, dtype,
+    )
 
     # --- cache-warm step (epochs >= 1): teacher side served from cache.
     def warm_step():
@@ -280,6 +297,13 @@ def _run() -> dict:
         batch, teacher_cached=True,
     )
     mfu_warm = mfu(flops_warm * n_steps / dt_warm, platform, dtype)
+    mfu_warm_true = mfu(
+        distill_step_flops(
+            trainer.student_config, trainer.teacher_clip_config, teacher_cfg,
+            batch, teacher_cached=True, reference_mask=True,
+        ) * n_steps / dt_warm,
+        platform, dtype,
+    )
 
     rnd = lambda x, n=2: None if x is None else round(x, n)  # noqa: E731
     return {
@@ -295,9 +319,11 @@ def _run() -> dict:
         "compute_dtype": dtype,
         "use_pallas": bool(trainer.cfg.use_pallas),
         "mfu": rnd(mfu_uncached, 4),
+        "mfu_masked_true": rnd(mfu_uncached_true, 4),
         "flops_per_image": rnd(flops_uncached / batch, 0),
         "cache_warm_images_per_sec": round(warm_images_per_sec, 2),
         "cache_warm_mfu": rnd(mfu_warm, 4),
+        "cache_warm_mfu_masked_true": rnd(mfu_warm_true, 4),
         "note": "H2D excluded (single device_put; input pipeline overlaps)",
     }
 

@@ -49,6 +49,34 @@ def cross_attention_flops(tcfg: TeacherConfig) -> float:
     return 2 * (4 * 2 * (t + p) * d * d / 2 + 2 * 2 * t * p * d)
 
 
+def student_step_flops_masked(cfg: CLIPConfig) -> float:
+    """Per-image student fwd+bwd under the DEFAULT trainable mask — the
+    "model FLOPs" (PaLM-style MFU) convention: only GEMMs the algorithm
+    actually requires.
+
+    The default mask (optim.student_trainable_mask, the reference's
+    effective :504-506 behavior) trains the vision ATTENTION projections +
+    visual_projection and the whole text tower; vision MLP / embeddings /
+    LayerNorms are frozen. Consequences counted here:
+      - vision: forward + full dX chain (gradients must reach layer-0
+        attention), but dW only for the 4 attention projections per layer
+        and the final projection; the frozen-MLP Pallas pair emits zero
+        weight cotangents by construction, and patch-embed dX/dW are dead
+        (no trainable leaf below them).
+      - text: trainable end to end -> the standard 3x forward (the dW of
+        the attention-score matmuls doesn't exist; the ~2% it overcounts
+        is noise against the vision tower).
+    """
+    v = cfg.vision
+    s = (v.image_size // v.patch_size) ** 2 + 1
+    d = v.hidden_size
+    patch_embed = 2 * (s - 1) * (3 * v.patch_size**2) * d
+    vision_fwd = vision_forward_flops(cfg)
+    attn_dw = v.num_layers * 4 * 2 * s * d * d + 2 * d * cfg.projection_dim
+    vision = vision_fwd + (vision_fwd - patch_embed) + attn_dw
+    return vision + 3.0 * text_forward_flops(cfg)
+
+
 def distill_step_flops(
     student_cfg: CLIPConfig,
     teacher_cfg: CLIPConfig,
@@ -57,13 +85,17 @@ def distill_step_flops(
     n_crops: int | None = None,
     teacher_image_size: int | None = None,
     teacher_cached: bool = False,
+    reference_mask: bool = False,
 ) -> float:
     """One distillation training step (batch total).
 
     Teacher side (frozen, forward only): n_crops region ViT forwards +
     one token-level text forward + cross-attention, per image — skipped
     entirely when `teacher_cached` (the cross-epoch target cache).
-    Student side: image+text forward plus backward at 2x forward.
+    Student side: image+text forward plus backward at 2x forward; with
+    `reference_mask=True`, the backward counts only the GEMMs the default
+    trainable mask requires (student_step_flops_masked) — the honest
+    "model FLOPs" MFU denominator for the default configuration.
     """
     crops = tcfg.max_patches if n_crops is None else n_crops
     teacher = 0.0
@@ -73,8 +105,13 @@ def distill_step_flops(
             + text_forward_flops(teacher_cfg)
             + cross_attention_flops(tcfg)
         )
-    student_fwd = vision_forward_flops(student_cfg) + text_forward_flops(student_cfg)
-    return batch * (teacher + 3.0 * student_fwd)
+    if reference_mask:
+        student = student_step_flops_masked(student_cfg)
+    else:
+        student = 3.0 * (
+            vision_forward_flops(student_cfg) + text_forward_flops(student_cfg)
+        )
+    return batch * (teacher + student)
 
 
 def mfu(flops_per_sec: float, platform: str, dtype: str) -> float | None:

@@ -212,6 +212,21 @@ def test_analytic_flops_accounting():
     assert mfu(197e12, "tpu", "bfloat16") == pytest.approx(1.0)
     assert mfu(1.0, "gpu", "float32") is None
 
+    # Mask-aware "model FLOPs": vision fwd + dX (minus dead patch-embed)
+    # + attention-projection dW only; text at the standard 3x.
+    from dclip_tpu.core.flops import student_step_flops_masked
+
+    masked = student_step_flops_masked(cfg)
+    patch_embed = 2 * 196 * (3 * 16 * 16) * d
+    attn_dw = 12 * 8 * s * d * d + 2 * d * 512
+    assert masked == pytest.approx(2 * v - patch_embed + attn_dw + 3 * t)
+    # Strictly below the conventional 3x-everything count, but still the
+    # majority of it (the frozen part is the vision MLP dW + embeddings).
+    assert 0.7 * 3 * (v + t) < masked < 3 * (v + t)
+    step_true = distill_step_flops(cfg, cfg, tc, batch=64, reference_mask=True)
+    assert step_true < step
+    assert step_true / 64 == pytest.approx(step / 64 - 3 * (v + t) + masked)
+
 
 def test_pallas_probe_memoized_across_processes(monkeypatch, tmp_path):
     """The probe verdict persists on disk with a TTL, so fresh processes
