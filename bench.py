@@ -170,8 +170,9 @@ def _run() -> dict:
     on_tpu = is_tpu_platform(jax.default_backend())
     # DCLIP_BENCH_BATCH overrides for batch-size sweeps. 256 is the
     # measured sweet spot (sweep on the real chip: 64 -> 345.8 img/s
-    # MFU 0.720, 128 -> 349.5 / 0.728, 256 -> 363.5 / 0.757; the 512
-    # attempt landed in a degraded-tunnel window and never completed).
+    # MFU 0.720, 128 -> 349.5 / 0.728, 256 -> 363.5 / 0.757,
+    # 384 -> 356.9 / 0.744 with cache-warm 1071 vs 1137 at 256;
+    # 512 OOMs the 16 GB HBM).
     batch = int(os.environ.get("DCLIP_BENCH_BATCH", "256" if on_tpu else "8"))
     clip_cfg = CLIPConfig.vit_b_16() if on_tpu else CLIPConfig.tiny_test()
     teacher_cfg = TeacherConfig(
