@@ -32,6 +32,37 @@ def add_model_args(p: argparse.ArgumentParser, default_preset: str = "vit-b-16")
     p.add_argument("--seed", type=int, default=42)
 
 
+def synthetic_distill_batch(clip_cfg, teacher_cfg, batch: int, rng=None):
+    """Host-numpy distillation batch with the pipeline's exact field set
+    and shapes (fixed-shape contract, SURVEY.md §7 step 4) — used by the
+    driver entry points, bench.py, and cli.profile so every synthetic
+    consumer exercises the one real batch layout."""
+    import numpy as np
+
+    rng = rng or np.random.RandomState(0)
+    t = clip_cfg.text.max_length
+    s = clip_cfg.vision.image_size
+    p = teacher_cfg.max_patches
+    ids = rng.randint(
+        1, clip_cfg.text.vocab_size - 2, size=(batch, t)
+    ).astype(np.int32)
+    ids[:, 5] = clip_cfg.text.eos_token_id
+    ids[:, 6:] = 0
+    mask = np.zeros((batch, t), np.int32)
+    mask[:, :6] = 1
+    boxes = rng.rand(batch, p, 4).astype(np.float32) * (s / 2)
+    boxes[..., 2:] += boxes[..., :2] + 2
+    return {
+        "pixel_values": rng.randn(batch, s, s, 3).astype(np.float32) * 0.1,
+        "input_ids": ids,
+        "attention_mask": mask,
+        "teacher_pixels": rng.rand(batch, s, s, 3).astype(np.float32),
+        "boxes": boxes,
+        "conf": rng.rand(batch, p).astype(np.float32),
+        "box_mask": np.ones((batch, p), np.float32),
+    }
+
+
 def add_mesh_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mesh_data", type=int, default=-1,
                    help="data-parallel mesh size (-1: all remaining devices)")

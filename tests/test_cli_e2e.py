@@ -151,3 +151,39 @@ def test_doctor_collect_fast():
                 "matmul_smoke", "native_runtime"):
         assert key in info, key
     assert info["devices"]["count"] >= 1
+
+
+def test_profile_cli(capsys):
+    """cli.profile: phase decomposition sums sensibly and both output
+    modes carry the full field set (reference: no profiling subsystem,
+    SURVEY.md §5 — this is the TPU build's one-command equivalent)."""
+    import json
+
+    from dclip_tpu.cli import profile
+
+    assert profile.main(
+        ["--model_preset", "tiny", "--batch", "4", "--steps", "2"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "full uncached step" in out
+    assert "teacher patch encode" in out
+    assert "student step (cache-warm)" in out
+    assert "MFU uncached" in out
+
+    assert profile.main(
+        ["--model_preset", "tiny", "--batch", "4", "--steps", "2", "--json"]
+    ) == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    for key in ("phases_ms", "images_per_sec_uncached",
+                "images_per_sec_cache_warm", "mfu_uncached",
+                "use_pallas", "compute_dtype"):
+        assert key in rec, key
+    ph = rec["phases_ms"]
+    full = ph["full uncached step"]
+    # Isolated sub-phases can each exceed their in-step share (no overlap
+    # with dispatch), but none should dwarf the full step.
+    assert full > 0
+    assert ph["teacher patch encode"] > 0
+    assert ph["teacher tail (text+xattn)"] > 0
+    assert ph["student step (cache-warm)"] > 0
