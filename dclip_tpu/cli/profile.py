@@ -73,6 +73,8 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--json", action="store_true", dest="as_json",
                    help="print one JSON line instead of the table")
     args = p.parse_args(argv)
+    if args.steps < 1:
+        p.error(f"--steps must be >= 1 (got {args.steps})")
 
     import jax
     import numpy as np
@@ -167,14 +169,17 @@ def main(argv: Optional[list] = None) -> int:
 
     # -- full uncached step (epoch-0 path; no cache bookkeeping) ----------
     trainer.teacher_cache = None
-    if args.trace_dir:
-        # Compile outside the trace so the capture holds executions only.
-        block_metrics(trainer.train_step_on_batch(data_dev))
-        start_trace(args.trace_dir)
     dt_full = _time_phase(
         lambda: trainer.train_step_on_batch(data_dev), block_metrics, steps
     )
     if args.trace_dir:
+        # Trace a SEPARATE short window after the untimed measurement:
+        # an active jax.profiler capture perturbs step time, so tracing
+        # the timed window would make dt_full (and both uncached MFU
+        # figures) incomparable to the untraced phase rows.
+        start_trace(args.trace_dir)
+        for _ in range(min(3, steps)):
+            block_metrics(trainer.train_step_on_batch(data_dev))
         stop_trace()
 
     # -- teacher phases, isolated ----------------------------------------
@@ -249,6 +254,10 @@ def main(argv: Optional[list] = None) -> int:
         share = 100.0 * dt / dt_full
         print(f"{name:<32}{dt * 1e3:>10.2f}"
               f"{(f'{ips:.1f}' if ips else '-'):>10}{share:>8.1f}%")
+    print("note: the student row is timed via the cacheable hybrid batch, so"
+          " it also pays host cache-key hashing + the cache gather that the"
+          " all-device full-step rows do not — its share is slightly"
+          " overstated and the residual can go negative.")
     fmt = lambda v: "n/a" if v is None else f"{v:.4f}"  # noqa: E731
     print(f"MFU uncached {fmt(result['mfu_uncached'])} "
           f"(true {fmt(result['mfu_uncached_masked_true'])})   "

@@ -34,6 +34,11 @@ jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 import pytest  # noqa: E402
 
+# Per-test deadline watchdog: bounds a wedged (uninterruptible) compile to
+# one test's DCLIP_TEST_DEADLINE budget instead of eating the whole
+# invocation. Importing the hook registers it for this conftest's scope.
+from deadline_plugin import pytest_runtest_protocol  # noqa: E402,F401
+
 
 @pytest.fixture(scope="session")
 def rng():

@@ -182,8 +182,10 @@ def test_profile_cli(capsys):
     ph = rec["phases_ms"]
     full = ph["full uncached step"]
     # Isolated sub-phases can each exceed their in-step share (no overlap
-    # with dispatch), but none should dwarf the full step.
+    # with dispatch), but a pathological decomposition (a phase orders of
+    # magnitude above the step it is part of) must fail loudly. 20x is
+    # deliberately loose: tiny-model CPU timings are dispatch-dominated.
     assert full > 0
-    assert ph["teacher patch encode"] > 0
-    assert ph["teacher tail (text+xattn)"] > 0
-    assert ph["student step (cache-warm)"] > 0
+    for phase in ("teacher patch encode", "teacher tail (text+xattn)",
+                  "student step (cache-warm)"):
+        assert 0 < ph[phase] < 20 * full, (phase, ph[phase], full)
