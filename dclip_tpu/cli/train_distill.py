@@ -93,8 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
                    action=argparse.BooleanOptionalAction, default=None,
                    help="HBM-resident level-0 teacher-target cache: cached "
                         "rows gather on device instead of re-crossing "
-                        "host->device each epoch (default: auto — on for "
-                        "single-device meshes)")
+                        "host->device each epoch; rows shard over the "
+                        "data axis under dp>1 (default: auto — on for "
+                        "single-process runs)")
     p.add_argument("--device_cache_mb", type=int, default=512,
                    help="HBM byte budget for --device_target_cache")
     p.add_argument("--tiled_frozen_mlp", action="store_true",

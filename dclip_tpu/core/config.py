@@ -209,8 +209,9 @@ class TeacherTrainConfig:
     compact_patches: Optional[bool] = None
     # HBM-resident level-0 in front of `pe_cache` (train/device_cache.py):
     # cached gated patch embeddings gather on device instead of re-crossing
-    # H2D each epoch. None = auto (on for single-device meshes when a
-    # pe_cache is attached).
+    # H2D each epoch. None = auto (on whenever a pe_cache is attached in a
+    # single-process run; under dp>1 the buffer rows shard over the data
+    # axis). Multihost stays on the host cache.
     device_target_cache: Optional[bool] = None
     device_cache_mb: int = 384
 
@@ -308,9 +309,10 @@ class DistillConfig:
     tiled_frozen_mlp: bool = False
     # HBM-resident level-0 teacher-target cache (train/device_cache.py):
     # cached rows gather on device instead of re-crossing H2D each epoch.
-    # None = auto (on for single-device meshes when a teacher_cache is
-    # attached); the host cache remains the multi-device and persistence
-    # path. Budget split below between full targets and patch embeddings.
+    # None = auto (on whenever a teacher_cache is attached in a
+    # single-process run; under dp>1 the buffer rows shard over the data
+    # axis and the byte budget is PER DEVICE). Multihost stays on the host
+    # cache. Budget split below between full targets and patch embeddings.
     device_target_cache: Optional[bool] = None
     device_cache_mb: int = 512
 

@@ -98,6 +98,35 @@ def make_multislice_mesh(
     return Mesh(grid, (cfg.data_axis, cfg.model_axis))
 
 
+def shard_map_batchwise(fn, mesh: Mesh, data_axis: str = "data",
+                        n_args: int = 1):
+    """shard_map a batch-parallel `fn(weights_tree, *arrays)` over `data_axis`.
+
+    GSPMD has no partitioning rule for a `pallas_call`: under jit with
+    batch-sharded operands it silently ALL-GATHERS them and computes the
+    full global batch replicated on every device — zero scaling for
+    exactly the kernels the fast paths exist for. shard_map is the
+    explicit batch-parallel contract instead: each device runs the kernel
+    on its own batch shard, the leading (weight-pytree) argument stays
+    replicated, and outputs come back batch-sharded.
+
+    Only valid for fns that are independent per batch row (every fused
+    frozen-path kernel here grids over the batch). `n_args` trailing
+    array arguments are batch-sharded; None arguments (optional masks)
+    pass through as empty pytrees. check_vma off: the static checker
+    cannot see through pallas_call.
+    """
+    from jax import shard_map
+
+    return shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(),) + (P(data_axis),) * n_args,
+        out_specs=P(data_axis),
+        check_vma=False,
+    )
+
+
 def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
     """Shard leading (batch) dim over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(data_axis))

@@ -13,11 +13,21 @@ This is the same north-star move as the FAISS replacement (SURVEY.md
 §2.4: "HBM-resident embedding store"): keep hot embeddings resident in
 HBM and address them with device gathers instead of host I/O.
 
-Scope: single-device meshes (the buffer is unsharded; under dp>1 rows
-would live on one device while the step wants them batch-sharded — the
-host cache remains the multi-device path). Capacity is a byte budget.
-Past the budget the two key populations want opposite policies, so
-eviction is a constructor flag:
+Sharding: constructed with the trainer's batch `NamedSharding`, the
+buffer's ROW axis shards over the mesh data axis — per-device HBM holds
+1/dp of the rows, and `capacity_bytes` is a PER-DEVICE budget (total
+capacity scales with the mesh). Because an example can land on a
+different batch shard each epoch (the pipeline reshuffles), rows are NOT
+pinned to the device that first computed them: gathers/scatters run as
+jitted global-index ops and GSPMD lowers them to the embedding-lookup
+pattern (masked local gather + all-reduce over the data axis) — [B, row]
+bytes over ICI per hit, vs the full [B, row] H2D over the host link the
+cache exists to avoid. Multihost (process_count > 1) stays on the host
+cache: cache keys are computed from process-local batch rows, while the
+buffer here would be a global array (see `resolve_device_cache`).
+
+Capacity is a byte budget. Past the budget the two key populations want
+opposite policies, so eviction is a constructor flag:
 
 - `evict=False` (default; the patch-embedding level): keys are stable
   per example and every epoch scans all of them in order. Fill-once is
@@ -51,26 +61,46 @@ import jax.numpy as jnp
 
 
 def resolve_device_cache(mesh, requested: Optional[bool], host_cache) -> bool:
-    """Shared trainer gate: device caching wants a single-device mesh (the
-    buffer is unsharded; under dp>1 the step wants rows batch-sharded) and
-    a host cache to front. `requested=None` means auto (on when eligible)."""
+    """Shared trainer gate: device caching needs a host cache to front and
+    a single-process run (under multihost, cache keys come from each
+    process's LOCAL batch rows while the device buffer would be a global
+    array — the host cache serves that case). Any single-process mesh
+    qualifies: under dp>1 the buffer rows shard over the data axis.
+    `requested=None` means auto (on when eligible)."""
     if host_cache is None:
         return False
-    single = mesh.devices.size == 1
-    want = requested if requested is not None else single
-    if want and not single:
-        print("device_target_cache disabled: multi-device mesh "
-              "(host cache serves dp>1)")
+    single_process = jax.process_count() == 1
+    want = requested if requested is not None else single_process
+    if want and not single_process:
+        print("device_target_cache disabled: multihost run "
+              "(per-process keys; host cache serves)")
         return False
     return bool(want)
 
 
+def _row_shards(sharding) -> int:
+    """Number of shards the buffer's row axis splits into (1 for a bare
+    device or a replicated spec)."""
+    if isinstance(sharding, jax.sharding.NamedSharding):
+        spec = sharding.spec
+        if len(spec) > 0 and spec[0] is not None:
+            names = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+            return int(np.prod([sharding.mesh.shape[n] for n in names]))
+    return 1
+
+
 class DeviceTargetCache:
-    """Key -> row mapping on the host; row storage in one device buffer.
+    """Key -> row mapping on the host; row storage in one device buffer
+    (row axis sharded over the batch sharding's data axis).
 
     The buffer grows by doubling up to `capacity_rows` (a transient 2x
-    copy per growth, amortized). `get` is all-or-nothing per batch, like
-    the host cache's `get_batch`.
+    copy per growth, amortized); every size is a multiple of the shard
+    count so placement stays even. `get` is all-or-nothing per batch,
+    like the host cache's `get_batch`. `capacity_bytes` is PER DEVICE.
+
+    Batch sizes passed to get/put must divide the data-axis size — the
+    same contract the batch sharding itself imposes on every step's
+    inputs (the pipeline pads batches to mesh multiples).
     """
 
     def __init__(
@@ -85,13 +115,17 @@ class DeviceTargetCache:
         self.row_shape = tuple(int(s) for s in row_shape)
         self.dtype = jnp.dtype(dtype)
         row_bytes = int(np.prod(self.row_shape)) * self.dtype.itemsize
-        self.capacity_rows = max(int(capacity_bytes // max(row_bytes, 1)), 0)
         if isinstance(device, jax.sharding.Sharding):
             self._sharding = device
         else:
             self._sharding = jax.sharding.SingleDeviceSharding(device)
+        self.shards = _row_shards(self._sharding)
+        # Per-device budget x shard count = total rows; keep it a multiple
+        # of the shard count so every growth placement is even.
+        per_dev = max(int(capacity_bytes // max(row_bytes, 1)), 0)
+        self.capacity_rows = per_dev * self.shards
         self.evict = bool(evict)
-        self._min_rows = min_rows
+        self._min_rows = -(-min_rows // self.shards) * self.shards
         self._rows: dict = {}  # key -> row index; insertion order = FIFO age
         self._free: list = []  # rows of evicted keys, reused before _next
         self._next = 0
@@ -102,7 +136,10 @@ class DeviceTargetCache:
         self.evictions = 0
         # Buffer growth changes the buf shape, so these recompile
         # log2(capacity/min_rows) times over the cache's lifetime — cheap
-        # gather/scatter compiles, not the training step.
+        # gather/scatter compiles, not the training step. Under dp>1 the
+        # buffer rows and the output batch share the SAME P(data) spec;
+        # XLA lowers the global-index gather/scatter to a masked local op
+        # + a collective over the data axis (verified in tests).
         self._gather = jax.jit(
             lambda buf, idx: jnp.take(buf, idx, axis=0),
             out_shardings=self._sharding,
@@ -116,6 +153,9 @@ class DeviceTargetCache:
     def __len__(self) -> int:
         return len(self._rows)
 
+    def _round_up(self, n: int) -> int:
+        return -(-n // self.shards) * self.shards
+
     def _ensure(self, n_new: int) -> bool:
         need = self._next + max(n_new - len(self._free), 0)
         if need > self.capacity_rows:
@@ -123,12 +163,23 @@ class DeviceTargetCache:
         cur = 0 if self._buf is None else self._buf.shape[0]
         if need <= cur:
             return True
-        new = min(self.capacity_rows, max(need, cur * 2, self._min_rows))
-        grown = jax.device_put(
-            jnp.zeros((new, *self.row_shape), self.dtype), self._sharding
+        new = min(
+            self.capacity_rows,
+            self._round_up(max(need, cur * 2, self._min_rows)),
         )
+        # Allocate sharded (each device materializes only its 1/shards
+        # slice); the old contents copy in via a donated jitted set so no
+        # host round-trip or unsharded intermediate appears.
+        grown = jax.jit(
+            lambda: jnp.zeros((new, *self.row_shape), self.dtype),
+            out_shardings=self._sharding,
+        )()
         if self._buf is not None:
-            grown = grown.at[:cur].set(self._buf)
+            grown = jax.jit(
+                lambda g, b: g.at[: b.shape[0]].set(b),
+                out_shardings=self._sharding,
+                donate_argnums=(0,),
+            )(grown, self._buf)
         self._buf = grown
         return True
 

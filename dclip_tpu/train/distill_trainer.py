@@ -228,10 +228,23 @@ class DistillTrainer(BaseTrainer):
         )
         self._student_dtype = dtype
         self._unfrozen_extra: tuple = ()
+        # Pallas kernels INSIDE the Flax modules (fused attention, fused
+        # MLP pairs) have no GSPMD partitioning rule: on a multi-device
+        # mesh the partitioner would all-gather their batch-sharded
+        # operands and compute the full global batch replicated per
+        # device — per-layer gathers that erase the dp scaling the mesh
+        # exists for. The differentiated module paths therefore demote to
+        # their XLA twins off single-device meshes; the FROZEN
+        # out-of-module surfaces (region encode, teacher-tail
+        # cross-attention) stay Pallas via shard_map over the data axis.
+        self._module_pallas = bool(cfg.use_pallas) and self.mesh.devices.size == 1
+        if cfg.use_pallas and not self._module_pallas:
+            print("in-module Pallas kernels demoted to XLA twins: "
+                  "multi-device mesh (frozen paths stay fused via shard_map)")
         self.student = self._make_student(student_variables["params"])
         self.teacher_clip = CLIPModule(
             self.teacher_clip_config, dtype=dtype,
-            fused_attention=cfg.use_pallas,
+            fused_attention=self._module_pallas,
             pallas_interpret=self._pallas_interpret,
         )
         self.teacher = PatchTextAggregation(cfg.teacher, dtype=dtype)
@@ -240,21 +253,52 @@ class DistillTrainer(BaseTrainer):
         # the fully fused block kernels win fed by the crop too —
         # crop+blocks 121.8 ms vs crop+module(fused attention) 137.9 ms;
         # the crop's incremental cost over the cropless blocks (116.8 ms)
-        # is ~5 ms, not the round-2 outlier that demoted this path. Gated
-        # to single-device meshes: under dp>1 the frozen forward runs
-        # inside the sharded teacher jits, where the module path is the
-        # proven configuration.
+        # is ~5 ms, not the round-2 outlier that demoted this path.
+        # Mesh-true under dp>1: GSPMD would silently REPLICATE a
+        # pallas_call (all-gather + full-batch compute per device), so the
+        # crops run through shard_map over the data axis instead — each
+        # device encodes its own batch shard with the same kernels. Only
+        # mp>1 demotes to the module path (the CLIP weights are TP-sharded
+        # there; the kernels assume whole weights VMEM-resident).
         self._frozen_image_features = None
-        if cfg.use_pallas and self.mesh.devices.size == 1:
+        dp_size = self.mesh.shape.get(cfg.mesh.data_axis, 1)
+        mp_size = self.mesh.shape.get(cfg.mesh.model_axis, 1)
+        if cfg.use_pallas and mp_size == 1:
             from dclip_tpu.kernels.vit_block import fused_image_features
 
             _tccfg = self.teacher_clip_config
             _interp = self._pallas_interpret
-            self._frozen_image_features = (
-                lambda v, px: fused_image_features(
-                    _tccfg, v, px, dtype=dtype, interpret=_interp
-                )
+            base = lambda v, px: fused_image_features(  # noqa: E731
+                _tccfg, v, px, dtype=dtype, interpret=_interp
             )
+            if dp_size > 1:
+                from dclip_tpu.parallel.mesh import shard_map_batchwise
+
+                base = shard_map_batchwise(
+                    base, self.mesh, cfg.mesh.data_axis
+                )
+            self._frozen_image_features = base
+        # Frozen teacher-tail cross-attention: the fused kernel on ANY
+        # mesh — the cross-modal weights are always replicated and the
+        # kernel grids over the batch, so under multi-device it runs
+        # through shard_map over the data axis (never differentiated:
+        # the tail sits behind stop_gradient).
+        self._fused_cross_attention = None
+        if cfg.use_pallas:
+            from dclip_tpu.kernels import cross_attention_fused
+
+            _nh = cfg.teacher.num_heads
+            _interp_x = self._pallas_interpret
+            xattn = lambda p, te, pe, tm, pm: cross_attention_fused(  # noqa: E731
+                p, te, pe, tm, pm, num_heads=_nh, interpret=_interp_x
+            )
+            if self.mesh.devices.size > 1:
+                from dclip_tpu.parallel.mesh import shard_map_batchwise
+
+                xattn = shard_map_batchwise(
+                    xattn, self.mesh, cfg.mesh.data_axis, n_args=4
+                )
+            self._fused_cross_attention = xattn
 
         self._build_optimizer(student_variables["params"])
         self.state = TrainState.create(student_variables["params"], self.tx)
@@ -283,8 +327,9 @@ class DistillTrainer(BaseTrainer):
         self.teacher_cache = teacher_cache
         # HBM-resident level-0 in front of the host cache: hits gather on
         # device (one [B] int32 upload) instead of re-crossing H2D each
-        # epoch. Single-device meshes only — the buffer is unsharded, and
-        # under dp>1 the step wants targets batch-sharded.
+        # epoch. Under dp>1 the buffer rows shard over the data axis
+        # (capacity scales with the mesh; gathers ride ICI — see
+        # train/device_cache.py); only multihost stays host-cache-only.
         self._dev_full = self._dev_pe = None
         from dclip_tpu.train.device_cache import (
             DeviceTargetCache,
@@ -371,7 +416,7 @@ class DistillTrainer(BaseTrainer):
         XLA measured faster there (see mlp_frozen_fit)."""
         fused_frozen = False
         fused_text = False
-        if self.cfg.use_pallas:
+        if self._module_pallas:
             from dclip_tpu.kernels.mlp_frozen import mlp_frozen_fit
             from dclip_tpu.kernels.mlp_trainable import mlp_trainable_fit
 
@@ -398,7 +443,7 @@ class DistillTrainer(BaseTrainer):
             self.student_config,
             dtype=self._student_dtype,
             remat=self.cfg.remat,
-            fused_attention=self.cfg.use_pallas,
+            fused_attention=self._module_pallas,
             pallas_interpret=self._pallas_interpret,
             fused_frozen_mlp=fused_frozen,
             fused_trainable_text_mlp=fused_text,
@@ -510,19 +555,16 @@ class DistillTrainer(BaseTrainer):
             batch["attention_mask"],
             self.teacher_clip_config.text.eos_token_id,
         )
-        if self.cfg.use_pallas:
-            from dclip_tpu.kernels import cross_attention_fused
+        if self._fused_cross_attention is not None:
             from dclip_tpu.models.teacher import aggregate_attended
 
             use_masks = self.cfg.teacher.mask_padding
-            at, ai = cross_attention_fused(
+            at, ai = self._fused_cross_attention(
                 teacher_params["cross_modal_attention"],
                 te,
                 pe,
                 tmask if use_masks else None,
                 batch["box_mask"] if use_masks else None,
-                num_heads=self.cfg.teacher.num_heads,
-                interpret=self._pallas_interpret,
             )
             out = aggregate_attended(
                 self.cfg.teacher, at, ai, tmask, batch["box_mask"]
@@ -579,6 +621,13 @@ class DistillTrainer(BaseTrainer):
         )
         if (
             self.cfg.use_pallas
+            # Single data shard only: the loss is GLOBAL over the batch
+            # ([B, B] similarity), so under dp>1 the XLA path is the
+            # mesh-true one — GSPMD all-gathers the [B, D] embeddings and
+            # row-shards the similarity GEMMs, while the fused kernel
+            # (no partitioning rule) would compute the whole matrix
+            # replicated on every device.
+            and self.mesh.shape.get(self.cfg.mesh.data_axis, 1) == 1
             and student_img.shape[0] <= 1024  # fused-kernel VMEM bound
         ):
             from dclip_tpu.kernels import fused_distillation_loss

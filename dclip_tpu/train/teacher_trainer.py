@@ -78,27 +78,41 @@ class TeacherTrainer(BaseTrainer):
         self._pallas_interpret = not is_tpu_platform(
             self.mesh.devices.flat[0].platform
         )
+        # In-module / differentiated Pallas (fused text attention, the
+        # trainable cross-attention pair) has no GSPMD partitioning rule —
+        # on a multi-device mesh the partitioner would replicate the full
+        # global batch per device — so those demote to their XLA twins
+        # off single-device meshes (same rule as DistillTrainer).
+        self._module_pallas = bool(cfg.use_pallas) and self.mesh.devices.size == 1
+        if cfg.use_pallas and not self._module_pallas:
+            print("in-module Pallas kernels demoted to XLA twins: "
+                  "multi-device mesh (frozen region encode stays fused "
+                  "via shard_map)")
         self.clip = CLIPModule(
             self.clip_config, dtype=dtype,
-            fused_attention=cfg.use_pallas,
+            fused_attention=self._module_pallas,
             pallas_interpret=self._pallas_interpret,
         )
         self.teacher = PatchTextAggregation(cfg.teacher, dtype=dtype)
-        # Region encode uses the fused block kernels on single-device TPU
-        # meshes — re-measured faster than the fused-attention module path
-        # even when fed by the crop-resize (see distill_trainer for the
-        # numbers and the dp>1 gating rationale).
+        # Region encode uses the fused block kernels — re-measured faster
+        # than the fused-attention module path even when fed by the
+        # crop-resize (see distill_trainer for the numbers). Frozen, so
+        # under dp>1 it runs through shard_map over the data axis; mp>1
+        # demotes to the module path (CLIP weights are TP-sharded there).
         self._frozen_image_features = None
-        if cfg.use_pallas and self.mesh.devices.size == 1:
+        if cfg.use_pallas and self.mesh.shape.get(cfg.mesh.model_axis, 1) == 1:
             from dclip_tpu.kernels.vit_block import fused_image_features
 
             _ccfg = self.clip_config
             _interp = self._pallas_interpret
-            self._frozen_image_features = (
-                lambda v, px: fused_image_features(
-                    _ccfg, v, px, dtype=dtype, interpret=_interp
-                )
+            base = lambda v, px: fused_image_features(  # noqa: E731
+                _ccfg, v, px, dtype=dtype, interpret=_interp
             )
+            if self.mesh.shape.get(cfg.mesh.data_axis, 1) > 1:
+                from dclip_tpu.parallel.mesh import shard_map_batchwise
+
+                base = shard_map_batchwise(base, self.mesh, cfg.mesh.data_axis)
+            self._frozen_image_features = base
 
         if teacher_params is None:
             d = cfg.teacher.embed_dim
@@ -193,7 +207,7 @@ class TeacherTrainer(BaseTrainer):
             batch["attention_mask"],
             self.clip_config.text.eos_token_id,
         )
-        if self.cfg.use_pallas:
+        if self._module_pallas:
             from dclip_tpu.kernels import cross_attention_trainable
             from dclip_tpu.models.teacher import aggregate_attended
 

@@ -60,6 +60,12 @@ def _expire(item, deadline: float) -> None:
 @pytest.hookimpl(hookwrapper=True)
 def pytest_runtest_protocol(item, nextitem):
     deadline = _deadline()
+    # Known-heavy tests (full CLI pipeline drives on a 1-core host) carry
+    # an explicit @pytest.mark.deadline(seconds) override; scaled by the
+    # same env knob so a degraded-tunnel session can stretch everything.
+    marker = item.get_closest_marker("deadline")
+    if marker is not None and deadline > 0:
+        deadline = float(marker.args[0]) * (deadline / 300.0)
     if deadline <= 0:
         yield
         return

@@ -49,6 +49,7 @@ def workspace(tmp_path_factory):
 MODEL_FLAGS = ["--model_preset", "tiny", "--mesh_data", "1"]
 
 
+@pytest.mark.deadline(900)  # full 5-CLI drive on a 1-core host
 def test_full_cli_pipeline(workspace, monkeypatch):
     monkeypatch.chdir(workspace)
     from dclip_tpu.cli import (

@@ -758,15 +758,19 @@ def test_tp_resume_keeps_opt_state_sharded(distill_setup, cpu_devices, tmp_path)
     assert np.isfinite(float(m["loss"]))
 
 
-def test_distill_fused_frozen_mlp_toggle(distill_setup, cpu_mesh):
+def test_distill_fused_frozen_mlp_toggle(distill_setup, cpu_devices):
     """With use_pallas, the student's vision stack runs the frozen-weight
     fused MLP blocks exactly while the mask freezes vision LN2/MLP; an
     unfreeze stage touching them rebuilds the module WITHOUT the kernel
     (whose VJP would silently zero their grads), and training then
-    actually updates the vision MLP weights."""
+    actually updates the vision MLP weights. Single-device mesh: the
+    in-module kernels demote to XLA twins on multi-device meshes (GSPMD
+    would replicate them — see test_distill_multi_device_demotes_*)."""
     import dataclasses
 
     clip_cfg, clip_vars, tparams, cfg = distill_setup
+    mesh1 = make_mesh(MeshConfig(data_parallel=1, model_parallel=1),
+                      devices=cpu_devices[:1])
     cfg2 = dataclasses.replace(
         cfg,
         use_pallas=True,
@@ -774,7 +778,7 @@ def test_distill_fused_frozen_mlp_toggle(distill_setup, cpu_mesh):
         unfreeze_schedule=(UnfreezeStage(epoch=1, patterns=("mlp",)),),
     )
     trainer = DistillTrainer(
-        cfg2, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=cpu_mesh
+        cfg2, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=mesh1
     )
     assert trainer.student.fused_frozen_mlp
     pipe = FakePipeline(clip_cfg, 1)
@@ -792,25 +796,28 @@ def test_distill_fused_frozen_mlp_toggle(distill_setup, cpu_mesh):
     )
 
 
-def test_distill_fused_text_mlp_opt_in(distill_setup, cpu_mesh):
+def test_distill_fused_text_mlp_opt_in(distill_setup, cpu_devices):
     """The trainable fused text-MLP kernels are OFF by default (measured
     slower than XLA at CLIP text shapes on v5e) and opt-in via
     cfg.fused_text_mlp; when on, text MLP weights still receive real
     gradients (the kernel's weight cotangents are live, unlike the
-    frozen vision kernel's)."""
+    frozen vision kernel's). Single-device mesh (in-module kernels
+    demote off it)."""
     import dataclasses
 
     clip_cfg, clip_vars, tparams, cfg = distill_setup
+    mesh1 = make_mesh(MeshConfig(data_parallel=1, model_parallel=1),
+                      devices=cpu_devices[:1])
     cfg_on = dataclasses.replace(cfg, use_pallas=True, fused_text_mlp=True)
     trainer_default = DistillTrainer(
         dataclasses.replace(cfg, use_pallas=True),
-        clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=cpu_mesh,
+        clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=mesh1,
     )
     assert not trainer_default.student.fused_trainable_text_mlp
 
     trainer = DistillTrainer(
         cfg_on, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg,
-        mesh=cpu_mesh,
+        mesh=mesh1,
     )
     assert trainer.student.fused_trainable_text_mlp
     pipe = FakePipeline(clip_cfg, 1)
@@ -1059,18 +1066,254 @@ def test_teacher_trainer_device_pe_cache(clip_setup, cpu_devices):
     assert t_dev._eval_loss._cache_size() == 1
 
 
-def test_distill_device_cache_multi_device_disabled(distill_setup, cpu_mesh, capsys):
-    """Explicitly requesting the device cache on a dp>1 mesh prints the
-    reason and falls back to the host cache (the buffer is unsharded)."""
+def test_teacher_trainer_device_pe_cache_dp_mesh(clip_setup, cpu_devices):
+    """Teacher-trainer device pe level under dp=4: engages (auto, the
+    buffer rows shard over the data axis), epoch-1 hits gather on device
+    with no host-cache reads, losses identical to the host-only path."""
     import dataclasses
+
+    from dclip_tpu.train.distill_trainer import TeacherTargetCache
+
+    clip_cfg, clip_vars = clip_setup
+    cfg = TeacherTrainConfig(
+        epochs=1, batch_size=B, learning_rate=1e-3,
+        teacher=_tiny_teacher_cfg(clip_cfg), clip_model="tiny",
+        mesh=MeshConfig(data_parallel=4, model_parallel=1),
+    )
+    mesh4 = make_mesh(cfg.mesh, devices=cpu_devices[:4])
+    pipe = FakePipeline(clip_cfg, 2)
+    t_host = TeacherTrainer(cfg, clip_vars, clip_cfg, mesh=mesh4,
+                            pe_cache=TeacherTargetCache())
+    t_dev = TeacherTrainer(
+        dataclasses.replace(cfg, device_target_cache=None),
+        clip_vars, clip_cfg, mesh=mesh4, pe_cache=TeacherTargetCache(),
+    )
+    assert t_dev._dev_pe is not None and t_dev._dev_pe.shards == 4
+    for batch in pipe.epoch(0):
+        np.testing.assert_allclose(
+            float(t_host.eval_loss_on_batch(batch)),
+            float(t_dev.eval_loss_on_batch(batch)), rtol=1e-6,
+        )
+    n = t_dev._dev_pe._buf.shape[0]
+    assert n % 4 == 0
+    assert {s.data.shape[0]
+            for s in t_dev._dev_pe._buf.addressable_shards} == {n // 4}
+    hits0 = t_dev._dev_pe.hits
+    host_gets = []
+    orig_get = t_dev.pe_cache.get_batch
+    t_dev.pe_cache.get_batch = (
+        lambda *a, **k: host_gets.append(1) or orig_get(*a, **k)
+    )
+    for batch in pipe.epoch(0):
+        np.testing.assert_allclose(
+            float(t_host.eval_loss_on_batch(batch)),
+            float(t_dev.eval_loss_on_batch(batch)), rtol=1e-6,
+        )
+    assert t_dev._dev_pe.hits == hits0 + 2 and not host_gets
+    assert t_dev._eval_loss._cache_size() == 1
+
+
+def test_device_target_cache_sharded_unit(cpu_devices):
+    """dp>1 buffer: rows shard over the data axis (each device holds
+    rows/dp), growth sizes stay multiples of the shard count, the
+    per-device byte budget scales capacity with the mesh, and global-
+    index gathers return exact rows with the batch sharding."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from dclip_tpu.train.device_cache import DeviceTargetCache
+
+    mesh = make_mesh(MeshConfig(data_parallel=4, model_parallel=1),
+                     devices=cpu_devices[:4])
+    sh = NamedSharding(mesh, PartitionSpec("data"))
+    row = (2, 4)
+    row_bytes = 2 * 4 * 4
+    # 3 rows/device budget -> 12 rows total (capacity scales with mesh).
+    c = DeviceTargetCache(row, jnp.float32, capacity_bytes=3 * row_bytes,
+                          device=sh, min_rows=2)
+    assert c.shards == 4 and c.capacity_rows == 12
+    # Batch sizes are dp-multiples — the same divisibility contract the
+    # batch sharding imposes on every step input (pipeline pads to it).
+    vals = jnp.arange(8 * 2 * 4, dtype=jnp.float32).reshape(8, 2, 4)
+    c.put([f"k{i}" for i in range(8)], vals)
+    # Buffer allocated in multiples of the shard count, evenly sharded.
+    assert c._buf.shape[0] % 4 == 0
+    shard_rows = {s.data.shape[0] for s in c._buf.addressable_shards}
+    assert shard_rows == {c._buf.shape[0] // 4}
+    got = c.get(["k3", "k0", "k5", "k1"])
+    assert got.sharding == sh
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(vals)[[3, 0, 5, 1]])
+    # Overwrite still holds under sharding (idempotent, last wins).
+    c.put(["k0"] * 4, jnp.stack([vals[2]] * 4))
+    np.testing.assert_array_equal(
+        np.asarray(c.get(["k0", "k1", "k2", "k3"])),
+        np.asarray(vals)[[2, 1, 2, 3]],
+    )
+    # 8 existing + 8 new = 16 > capacity 12 (evict=False): skipped whole.
+    c.put([f"x{i}" for i in range(8)], jnp.zeros((8, 2, 4), jnp.float32))
+    assert len(c) == 8 and c.skipped_puts == 1
+    # Exactly filling the remaining 4 rows still lands.
+    c.put([f"y{i}" for i in range(4)], vals[:4])
+    assert len(c) == 12
+    np.testing.assert_array_equal(
+        np.asarray(c.get(["y0", "y1", "y2", "y3"])), np.asarray(vals[:4])
+    )
+
+
+def test_device_target_cache_multihost_disabled(distill_setup, cpu_mesh,
+                                                capsys, monkeypatch):
+    """Under multihost (process_count > 1) the device cache stays off —
+    cache keys are computed from process-LOCAL batch rows while the
+    buffer would be a global array."""
+    import dataclasses
+
+    import jax as _jax
 
     from dclip_tpu.train import TeacherTargetCache
 
     clip_cfg, clip_vars, tparams, cfg = distill_setup
+    monkeypatch.setattr(_jax, "process_count", lambda: 2)
     c = dataclasses.replace(cfg, device_target_cache=True)
     trainer = DistillTrainer(
         c, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg,
         mesh=cpu_mesh, teacher_cache=TeacherTargetCache(),
     )
     assert trainer._dev_full is None and trainer._dev_pe is None
-    assert "multi-device mesh" in capsys.readouterr().out
+    assert "multihost" in capsys.readouterr().out
+
+
+def test_distill_device_cache_dp_mesh_matches_host_path(distill_setup,
+                                                        cpu_devices):
+    """VERDICT r4 #1 'done' criteria: on a dp=4 mesh the device cache
+    ENGAGES (auto), numerics are identical to the host-cache path, the
+    buffer rows shard over the data axis, and on an epoch>=1 full hit the
+    teacher side uploads NOTHING but the [B] index vector — no teacher
+    batch fields, no host-cache [B, 2, D] numpy rows — without retracing
+    the student step."""
+    import dataclasses
+
+    from dclip_tpu.train import TeacherTargetCache
+
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    mesh4 = make_mesh(MeshConfig(data_parallel=4, model_parallel=1),
+                      devices=cpu_devices[:4])
+    cfg4 = dataclasses.replace(
+        cfg, mesh=dataclasses.replace(cfg.mesh, data_parallel=4)
+    )
+
+    def build(device_cache):
+        c = dataclasses.replace(cfg4, device_target_cache=device_cache)
+        return DistillTrainer(
+            c, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg,
+            mesh=mesh4, teacher_cache=TeacherTargetCache(),
+        )
+
+    t_dev, t_host = build(None), build(False)
+    assert t_dev._dev_full is not None and t_dev._dev_pe is not None
+    assert t_host._dev_full is None
+    pipe = FakePipeline(clip_cfg, 1)
+    batch = pipe.batches[0]
+
+    # Step 1 (miss): populates both levels; losses match the host path.
+    m1d = t_dev.train_step_on_batch(batch)
+    m1h = t_host.train_step_on_batch(batch)
+    np.testing.assert_allclose(float(m1d["loss"]), float(m1h["loss"]), rtol=1e-6)
+    # Buffer rows are sharded over the 4 data-axis devices.
+    for cache in (t_dev._dev_full, t_dev._dev_pe):
+        assert cache.shards == 4
+        n = cache._buf.shape[0]
+        assert n % 4 == 0
+        assert {s.data.shape[0] for s in cache._buf.addressable_shards} == {n // 4}
+
+    # Step 2 (full device hit): teacher-side H2D is ONLY the index vector.
+    import dclip_tpu.parallel.multihost as mh
+
+    uploads = []
+    real_put = mh.put_sharded
+
+    def spying_put(v, sh):
+        uploads.append(np.asarray(v).nbytes)
+        return real_put(v, sh)
+
+    host_gets = []
+    orig_get = t_dev.teacher_cache.get_batch
+    t_dev.teacher_cache.get_batch = (
+        lambda *a, **k: host_gets.append(1) or orig_get(*a, **k)
+    )
+    hits0 = t_dev._dev_full.hits
+    mh.put_sharded = spying_put
+    try:
+        m2d = t_dev.train_step_on_batch(batch)
+    finally:
+        mh.put_sharded = real_put
+    m2h = t_host.train_step_on_batch(batch)
+    assert t_dev._dev_full.hits == hits0 + 1
+    assert not host_gets  # the [B, 2, D] host rows never re-upload
+    # put_sharded carried only the student fields (pixel_values,
+    # input_ids, attention_mask) — teacher_pixels/boxes/box_mask, the
+    # bulk of the batch bytes, never crossed H2D on the hit.
+    d = batch.as_dict()
+    student_bytes = sorted(
+        np.asarray(d[k]).nbytes
+        for k in ("pixel_values", "input_ids", "attention_mask")
+    )
+    assert sorted(uploads) == student_bytes
+    np.testing.assert_allclose(float(m2d["loss"]), float(m2h["loss"]), rtol=1e-6)
+    # No retrace on the hit path: one student-step compile total.
+    assert t_dev._train_step._cache_size() == 1
+
+    # pe-level hit under dp>1 (caption-resampling analogue).
+    t_dev._dev_full._rows.clear()
+    for k in t_dev.teacher_cache.keys_for(d):
+        t_dev.teacher_cache._mem.pop(k, None)
+        t_host.teacher_cache._mem.pop(k, None)
+    pe_hits0 = t_dev._dev_pe.hits
+    m3d = t_dev.train_step_on_batch(batch)
+    m3h = t_host.train_step_on_batch(batch)
+    assert t_dev._dev_pe.hits == pe_hits0 + 1
+    np.testing.assert_allclose(float(m3d["loss"]), float(m3h["loss"]), rtol=1e-6)
+    assert t_dev._teacher_tail_step._cache_size() == 1
+    assert t_dev._train_step._cache_size() == 1
+
+
+def test_distill_fused_paths_dp_mesh(distill_setup, cpu_devices, capsys):
+    """Mesh-true fast paths under dp=4 + use_pallas (interpret on CPU):
+    the frozen region encode and teacher-tail cross-attention stay fused
+    (shard_map over the data axis), the in-module differentiated kernels
+    demote to XLA twins, and one train step matches the dp=1 Pallas
+    trainer's loss (data-parallel invariance of the global step)."""
+    import dataclasses
+
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    mesh4 = make_mesh(MeshConfig(data_parallel=4, model_parallel=1),
+                      devices=cpu_devices[:4])
+    mesh1 = make_mesh(MeshConfig(data_parallel=1, model_parallel=1),
+                      devices=cpu_devices[:1])
+    cfg4 = dataclasses.replace(
+        cfg, use_pallas=True,
+        mesh=dataclasses.replace(cfg.mesh, data_parallel=4),
+    )
+    cfg1 = dataclasses.replace(cfg, use_pallas=True)
+    t4 = DistillTrainer(
+        cfg4, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=mesh4
+    )
+    out = capsys.readouterr().out
+    assert "demoted to XLA twins" in out
+    # Frozen fast paths engaged (shard_map-wrapped), module kernels off.
+    assert t4._frozen_image_features is not None
+    assert t4._fused_cross_attention is not None
+    assert not t4._module_pallas
+    assert not t4.student.fused_attention
+    t1 = DistillTrainer(
+        cfg1, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=mesh1
+    )
+    assert t1._module_pallas and t1.student.fused_attention
+    pipe = FakePipeline(clip_cfg, 1)
+    batch = pipe.batches[0]
+    m4 = t4.train_step_on_batch(batch)
+    m1 = t1.train_step_on_batch(batch)
+    assert np.isfinite(float(m4["loss"]))
+    # dp=4 runs XLA attention + XLA loss vs dp=1's fused kernels: the
+    # paths are parity-pinned elsewhere, so losses agree to kernel
+    # tolerance, not bitwise.
+    np.testing.assert_allclose(float(m4["loss"]), float(m1["loss"]),
+                               rtol=2e-4)

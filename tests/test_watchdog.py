@@ -75,6 +75,30 @@ def test_deadline_leaves_healthy_tests_alone(tmp_path):
     assert "1 passed" in r.stdout
 
 
+def test_deadline_marker_extends_budget(tmp_path):
+    """@pytest.mark.deadline(N) stretches the watchdog for known-heavy
+    tests (scaled by DCLIP_TEST_DEADLINE/300 so env tuning still applies):
+    a 3s test under a 2s env deadline survives with a deadline(600)
+    marker (600 * 2/300 = 4s effective)."""
+    f = tmp_path / "test_marked.py"
+    f.write_text(
+        textwrap.dedent(
+            """
+            import time
+
+            import pytest
+
+            @pytest.mark.deadline(600)
+            def test_heavy_but_legit():
+                time.sleep(3)
+            """
+        )
+    )
+    r = _run_inner(f, deadline="2")
+    assert r.returncode == 0, (r.returncode, r.stdout, r.stderr)
+    assert "1 passed" in r.stdout
+
+
 def test_deadline_zero_disables(tmp_path):
     f = tmp_path / "test_ok2.py"
     f.write_text("def test_quick():\n    assert True\n")
