@@ -174,6 +174,16 @@ def _run() -> dict:
     # 384 -> 356.9 / 0.744 with cache-warm 1071 vs 1137 at 256;
     # 512 OOMs the 16 GB HBM).
     batch = int(os.environ.get("DCLIP_BENCH_BATCH", "256" if on_tpu else "8"))
+    # DCLIP_BENCH_REMAT=1: jax.checkpoint each encoder layer (trades
+    # recompute FLOPs for HBM) — the knob for the B=512 sweep, which OOMs
+    # the 16 GB HBM without remat.
+    remat = bool(int(os.environ.get("DCLIP_BENCH_REMAT", "0")))
+    # DCLIP_BENCH_PACKED=1: caption sequence packing for the student text
+    # tower (ops/packing.py) — several captions' content tokens share one
+    # 77-token row; applies to the cache-warm path (packing needs host-
+    # resident ids, which is the real pipeline's layout). MFU denominators
+    # shrink with the executed text rows (core.flops text_rows_fraction).
+    packed = bool(int(os.environ.get("DCLIP_BENCH_PACKED", "0")))
     clip_cfg = CLIPConfig.vit_b_16() if on_tpu else CLIPConfig.tiny_test()
     teacher_cfg = TeacherConfig(
         embed_dim=clip_cfg.projection_dim,
@@ -224,6 +234,8 @@ def _run() -> dict:
         teacher=teacher_cfg,
         student_model="vit-b-16" if on_tpu else "tiny",
         teacher_clip_model="vit-b-16" if on_tpu else "tiny",
+        remat=remat,
+        packed_text=packed,
     )
     # In-memory, bench-scoped: pass an explicit salt so the trainer skips
     # the full-weight fingerprint (a device_get of both B/16 trees through
@@ -293,15 +305,27 @@ def _run() -> dict:
     dt_warm = _time_steps(warm_step, n_steps)
     warm_images_per_sec = n_steps * batch / dt_warm
     stage(f"cache-warm measured: {warm_images_per_sec:.1f} img/s")
+    # Packed text executes R < B text rows — the warm-step MFU denominator
+    # counts only the GEMM work actually run (core.flops docstring).
+    text_frac = 1.0
+    if trainer._packed_text:
+        from dclip_tpu.ops.packing import pack_captions
+
+        text_frac = pack_captions(
+            host_batch["input_ids"], host_batch["attention_mask"],
+            clip_cfg.text.eos_token_id,
+        )["packed_ids"].shape[0] / batch
+        stage(f"packed text rows fraction: {text_frac:.3f}")
     flops_warm = distill_step_flops(
         trainer.student_config, trainer.teacher_clip_config, teacher_cfg,
-        batch, teacher_cached=True,
+        batch, teacher_cached=True, text_rows_fraction=text_frac,
     )
     mfu_warm = mfu(flops_warm * n_steps / dt_warm, platform, dtype)
     mfu_warm_true = mfu(
         distill_step_flops(
             trainer.student_config, trainer.teacher_clip_config, teacher_cfg,
             batch, teacher_cached=True, reference_mask=True,
+            text_rows_fraction=text_frac,
         ) * n_steps / dt_warm,
         platform, dtype,
     )
@@ -325,6 +349,7 @@ def _run() -> dict:
         "cache_warm_images_per_sec": round(warm_images_per_sec, 2),
         "cache_warm_mfu": rnd(mfu_warm, 4),
         "cache_warm_mfu_masked_true": rnd(mfu_warm_true, 4),
+        "packed_text": bool(trainer._packed_text),
         "note": "H2D excluded (single device_put; input pipeline overlaps)",
     }
 

@@ -46,10 +46,21 @@ def synthetic_distill_batch(clip_cfg, teacher_cfg, batch: int, rng=None):
     ids = rng.randint(
         1, clip_cfg.text.vocab_size - 2, size=(batch, t)
     ).astype(np.int32)
-    ids[:, 5] = clip_cfg.text.eos_token_id
-    ids[:, 6:] = 0
     mask = np.zeros((batch, t), np.int32)
-    mask[:, :6] = 1
+    # Realistic caption lengths (BOS..EOS spans of 8-24 tokens — COCO/CC
+    # captions tokenize to ~10-20 BPE tokens, nowhere near the 77-token
+    # pad): the unpacked path is insensitive to mask content, while the
+    # packed-text path (ops/packing.py) sees the density a real corpus
+    # would. Tiny test configs (t < 26) keep a fixed 6-token span.
+    if t >= 26:
+        lengths = rng.randint(8, 25, size=batch)
+    else:
+        lengths = np.full(batch, 6)
+    for b in range(batch):
+        n = int(lengths[b])
+        ids[b, n - 1] = clip_cfg.text.eos_token_id
+        ids[b, n:] = 0
+        mask[b, :n] = 1
     boxes = rng.rand(batch, p, 4).astype(np.float32) * (s / 2)
     boxes[..., 2:] += boxes[..., :2] + 2
     return {

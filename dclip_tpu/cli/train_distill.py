@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="opt-in trainable fused MLP kernels for the text "
                         "stack (measured slower than XLA on v5e at CLIP "
                         "text shapes; see kernels/mlp_trainable.py)")
+    p.add_argument("--packed_text", action="store_true",
+                   help="caption sequence packing for the student text "
+                        "tower: several captions' content tokens share "
+                        "one 77-token row (ops/packing.py; parity-pinned "
+                        "numerics; single-data-shard meshes only)")
     p.add_argument("--device_target_cache",
                    action=argparse.BooleanOptionalAction, default=None,
                    help="HBM-resident level-0 teacher-target cache: cached "
@@ -209,6 +214,7 @@ def main(argv=None) -> int:
         remat=args.remat,
         compact_patches=args.compact_patches,
         fused_text_mlp=args.fused_text_mlp,
+        packed_text=args.packed_text,
         tiled_frozen_mlp=args.tiled_frozen_mlp,
         device_target_cache=args.device_target_cache,
         device_cache_mb=args.device_cache_mb,

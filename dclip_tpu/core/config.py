@@ -301,6 +301,13 @@ class DistillConfig:
     # the MXU per program; the HBM traffic saved is negligible at
     # mlp=2048). The kernel exists for bandwidth-bound trainable MLPs.
     fused_text_mlp: bool = False
+    # Caption sequence packing for the student text tower (ops/packing.py):
+    # pack several captions' CONTENT tokens per 77-token row and encode
+    # R << B rows with within-segment causal attention — reclaims the
+    # FLOPs CLIP's pad-to-77 burns on padding (real captions run ~10-30
+    # tokens). Numerics match the unpacked encode (parity-pinned).
+    # Single-data-shard meshes only (packed row counts are not dp-even).
+    packed_text: bool = False
     # Allow the TILED (weight-streaming) frozen-MLP pair where weights
     # overflow VMEM residency (ViT-L/14). Default OFF: measured slower
     # than XLA there on v5e (fwd+bwd 2.84 vs 1.85 ms at B=32) — XLA's

@@ -49,7 +49,7 @@ def cross_attention_flops(tcfg: TeacherConfig) -> float:
     return 2 * (4 * 2 * (t + p) * d * d / 2 + 2 * 2 * t * p * d)
 
 
-def student_step_flops_masked(cfg: CLIPConfig) -> float:
+def student_step_flops_masked(cfg: CLIPConfig, text_scale: float = 1.0) -> float:
     """Per-image student fwd+bwd under the DEFAULT trainable mask — the
     "model FLOPs" (PaLM-style MFU) convention: only GEMMs the algorithm
     actually requires.
@@ -74,7 +74,9 @@ def student_step_flops_masked(cfg: CLIPConfig) -> float:
     vision_fwd = vision_forward_flops(cfg)
     attn_dw = v.num_layers * 4 * 2 * s * d * d + 2 * d * cfg.projection_dim
     vision = vision_fwd + (vision_fwd - patch_embed) + attn_dw
-    return vision + 3.0 * text_forward_flops(cfg)
+    # text_scale < 1: caption sequence packing (ops/packing.py) encodes
+    # R < B rows of max_length — per-image text GEMM work shrinks to R/B.
+    return vision + 3.0 * text_forward_flops(cfg) * text_scale
 
 
 def distill_step_flops(
@@ -86,6 +88,7 @@ def distill_step_flops(
     teacher_image_size: int | None = None,
     teacher_cached: bool = False,
     reference_mask: bool = False,
+    text_rows_fraction: float = 1.0,
 ) -> float:
     """One distillation training step (batch total).
 
@@ -96,6 +99,11 @@ def distill_step_flops(
     `reference_mask=True`, the backward counts only the GEMMs the default
     trainable mask requires (student_step_flops_masked) — the honest
     "model FLOPs" MFU denominator for the default configuration.
+    `text_rows_fraction` = packed rows / batch when caption packing is on
+    (ops/packing.py): the student text tower genuinely executes that
+    fraction of its padded GEMM work, so the MFU denominator must shrink
+    with it (otherwise packing would inflate MFU by counting padding
+    FLOPs it no longer runs).
     """
     crops = tcfg.max_patches if n_crops is None else n_crops
     teacher = 0.0
@@ -106,10 +114,13 @@ def distill_step_flops(
             + cross_attention_flops(tcfg)
         )
     if reference_mask:
-        student = student_step_flops_masked(student_cfg)
+        student = student_step_flops_masked(
+            student_cfg, text_scale=text_rows_fraction
+        )
     else:
         student = 3.0 * (
-            vision_forward_flops(student_cfg) + text_forward_flops(student_cfg)
+            vision_forward_flops(student_cfg)
+            + text_forward_flops(student_cfg) * text_rows_fraction
         )
     return batch * (teacher + student)
 

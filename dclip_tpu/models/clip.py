@@ -56,14 +56,23 @@ class Attention(nn.Module):
     causal: bool = False
 
     @nn.compact
-    def __call__(self, x, padding_mask: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        x,
+        padding_mask: Optional[jnp.ndarray] = None,
+        attn_bias: Optional[jnp.ndarray] = None,
+    ):
         # x: [B, S, D]; padding_mask: [B, S], 1 = valid key position.
+        # attn_bias: additive [B, 1, S, S] f32 replacing the internally
+        # built causal/padding mask (the packed-caption path encodes
+        # within-segment causality there); takes the XLA path — the fused
+        # kernel only knows causal + key-padding masks in-kernel.
         head_dim = self.hidden // self.heads
         q = nn.Dense(self.hidden, dtype=self.dtype, name="q_proj")(x)
         k = nn.Dense(self.hidden, dtype=self.dtype, name="k_proj")(x)
         v = nn.Dense(self.hidden, dtype=self.dtype, name="v_proj")(x)
 
-        if self.fused:
+        if self.fused and attn_bias is None:
             from dclip_tpu.kernels.vit_attention import self_attention_trainable
 
             out = self_attention_trainable(
@@ -74,14 +83,17 @@ class Attention(nn.Module):
 
         b, s, _ = x.shape
         neg = jnp.finfo(jnp.float32).min
-        mask = None
-        if self.causal:
-            mask = jnp.triu(jnp.full((s, s), neg, dtype=jnp.float32), k=1)[
-                None, None, :, :
-            ]
-        if padding_mask is not None:
-            pad = jnp.where(padding_mask[:, None, None, :] > 0, 0.0, neg)
-            mask = pad if mask is None else mask + pad
+        if attn_bias is not None:
+            mask = attn_bias
+        else:
+            mask = None
+            if self.causal:
+                mask = jnp.triu(jnp.full((s, s), neg, dtype=jnp.float32), k=1)[
+                    None, None, :, :
+                ]
+            if padding_mask is not None:
+                pad = jnp.where(padding_mask[:, None, None, :] > 0, 0.0, neg)
+                mask = pad if mask is None else mask + pad
 
         def split(t):
             return t.reshape(b, s, self.heads, head_dim).transpose(0, 2, 1, 3)
@@ -161,12 +173,12 @@ class EncoderLayer(nn.Module):
     fused_trainable_mlp: bool = False
 
     @nn.compact
-    def __call__(self, x, padding_mask=None):
+    def __call__(self, x, padding_mask=None, attn_bias=None):
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm1")(x)
         x = x + Attention(
             self.hidden, self.heads, self.dtype, self.fused, self.interpret,
             self.causal, name="self_attn",
-        )(h, padding_mask)
+        )(h, padding_mask, attn_bias)
         if self.fused_frozen_mlp or self.fused_trainable_mlp:
             if self.fused_trainable_mlp:
                 from dclip_tpu.kernels.mlp_trainable import (
@@ -203,7 +215,7 @@ class Encoder(nn.Module):
     fused_trainable_mlp: bool = False
 
     @nn.compact
-    def __call__(self, x, padding_mask=None):
+    def __call__(self, x, padding_mask=None, attn_bias=None):
         layer_cls = EncoderLayer
         if self.remat:
             layer_cls = nn.remat(EncoderLayer, static_argnums=())
@@ -220,7 +232,7 @@ class Encoder(nn.Module):
                 self.fused_frozen_mlp,
                 self.fused_trainable_mlp,
                 name=f"layers_{i}",
-            )(x, padding_mask)
+            )(x, padding_mask, attn_bias)
         return x
 
 
@@ -236,7 +248,22 @@ class CLIPTextEncoder(nn.Module):
     fused_trainable_mlp: bool = False
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        input_ids,
+        attention_mask: Optional[jnp.ndarray] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
+        positions: Optional[jnp.ndarray] = None,
+    ):
+        """Standard mode: [B, 77] one caption per row, causal + padding
+        masks, EOS-pooled.
+
+        Packed mode (`segment_ids` + `positions` given, ops/packing.py):
+        several captions share a row; attention is within-segment causal
+        via an additive bias, position embeddings index per-caption
+        positions, and POOLING IS THE CALLER'S JOB (a row holds several
+        EOS tokens) — the returned `pooled` is a placeholder (row head).
+        """
         c = self.cfg
         b, s = input_ids.shape
         tok = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype, name="token_embedding")(
@@ -247,11 +274,20 @@ class CLIPTextEncoder(nn.Module):
             nn.initializers.normal(0.02),
             (c.max_length, c.hidden_size),
         ).astype(self.dtype)
-        x = tok + pos[None, :s, :]
+        attn_bias = None
+        if segment_ids is not None:
+            from dclip_tpu.ops.packing import packed_attention_bias
+
+            x = tok + jnp.take(pos, positions, axis=0)
+            attn_bias = packed_attention_bias(segment_ids)
+            attention_mask = None
+        else:
+            x = tok + pos[None, :s, :]
 
         # HF CLIP text attention is causal; key padding comes from
         # attention_mask. Both are applied inside Attention (additive mask
         # on the XLA path, in-kernel iota/row masks on the fused path).
+        # Packed mode replaces both with the within-segment causal bias.
         x = Encoder(
             c.num_layers,
             c.hidden_size,
@@ -265,10 +301,13 @@ class CLIPTextEncoder(nn.Module):
             causal=True,
             fused_trainable_mlp=self.fused_trainable_mlp,
             name="encoder",
-        )(x, attention_mask)
+        )(x, attention_mask, attn_bias)
         x = nn.LayerNorm(
             epsilon=c.layer_norm_eps, dtype=self.dtype, name="final_layer_norm"
         )(x)
+
+        if segment_ids is not None:
+            return x, x[:, 0]  # placeholder pooled; caller gathers EOS
 
         # Pool at the EOS token (HF: first position where id == eos_token_id).
         is_eos = (input_ids == c.eos_token_id).astype(jnp.int32)
@@ -380,6 +419,22 @@ class CLIPModule(nn.Module):
 
     def get_text_features(self, input_ids, attention_mask=None):
         _, pooled = self.text_model(input_ids, attention_mask)
+        return self.text_projection(pooled)
+
+    def get_packed_text_features(
+        self, packed_ids, packed_segments, packed_positions,
+        packed_eos_rows, packed_eos_cols,
+    ):
+        """get_text_features over a PACKED batch (ops.packing.pack_captions):
+        encodes R << B dense rows, then gathers each original caption's EOS
+        state — output order and numerics match per-caption encoding (the
+        segment bias reproduces the causal+padding mask a caption sees
+        alone; parity pinned in tests/test_packing.py)."""
+        hidden, _ = self.text_model(
+            packed_ids, None, segment_ids=packed_segments,
+            positions=packed_positions,
+        )
+        pooled = hidden[packed_eos_rows, packed_eos_cols]
         return self.text_projection(pooled)
 
     def get_token_features(self, input_ids, attention_mask=None):

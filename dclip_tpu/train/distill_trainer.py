@@ -361,6 +361,14 @@ class DistillTrainer(BaseTrainer):
         )
         if cfg.compact_patches and not self._compact:
             print("compact_patches disabled: data-parallel mesh (dp>1)")
+        # Caption packing for the student text tower (ops/packing.py):
+        # packed row counts are bucketed but not dp-even, so single data
+        # shard only.
+        self._packed_text = bool(cfg.packed_text) and (
+            self.mesh.shape.get(cfg.mesh.data_axis, 1) == 1
+        )
+        if cfg.packed_text and not self._packed_text:
+            print("packed_text disabled: data-parallel mesh (dp>1)")
         self._init_knn_gate(knn_store, projection_params, cfg.teacher.embed_dim)
         if teacher_cache is not None and not teacher_cache.salt:
             teacher_cache.salt = self._teacher_fingerprint()
@@ -613,12 +621,23 @@ class DistillTrainer(BaseTrainer):
             batch["pixel_values"],
             method=self.student.get_image_features,
         )
-        student_txt = self.student.apply(
-            {"params": params},
-            batch["input_ids"],
-            batch["attention_mask"],
-            method=self.student.get_text_features,
-        )
+        if "packed_ids" in batch:
+            # Caption-packed text encode: R << B dense rows, EOS-gathered
+            # back to original order (ops/packing.py; parity-pinned).
+            student_txt = self.student.apply(
+                {"params": params},
+                batch["packed_ids"], batch["packed_segments"],
+                batch["packed_positions"],
+                batch["packed_eos_rows"], batch["packed_eos_cols"],
+                method=self.student.get_packed_text_features,
+            )
+        else:
+            student_txt = self.student.apply(
+                {"params": params},
+                batch["input_ids"],
+                batch["attention_mask"],
+                method=self.student.get_text_features,
+            )
         if (
             self.cfg.use_pallas
             # Single data shard only: the loss is GLOBAL over the batch
@@ -768,6 +787,34 @@ class DistillTrainer(BaseTrainer):
                 )
         return teacher_img, teacher_txt
 
+    def _maybe_pack_text(self, d, student_batch):
+        """With cfg.packed_text, swap the student jit's text inputs for the
+        packed layout (host packing over the pipeline's numpy ids; skipped
+        when ids are device-resident — packing is a host computation, and
+        pulling ids D2H would cost more than packing saves). The packed
+        row count is bucketed (ops.packing.packed_rows_bucket) so at most
+        a handful of student-step shapes ever compile."""
+        import numpy as np
+
+        if not self._packed_text:
+            return student_batch
+        ids = d.get("input_ids")
+        am = d.get("attention_mask")
+        if not (isinstance(ids, np.ndarray) and isinstance(am, np.ndarray)):
+            return student_batch
+        from dclip_tpu.ops.packing import pack_captions
+
+        packed = pack_captions(
+            ids, am, self.student_config.text.eos_token_id
+        )
+        out = {
+            k: v for k, v in student_batch.items()
+            if k not in ("input_ids", "attention_mask")
+        }
+        for k, v in packed.items():
+            out[k] = put_sharded(v, self._batch_sharding)
+        return out
+
     def train_step_on_batch(self, batch):
         """One full training step (teacher targets + student update).
 
@@ -804,6 +851,7 @@ class DistillTrainer(BaseTrainer):
         # (a structure/dtype flip at the first cache hit would retrace the
         # heaviest compile a second time).
         student_batch = {k: device_batch[k] for k in self._STUDENT_FIELDS}
+        student_batch = self._maybe_pack_text(d, student_batch)
         with trace_span("distill_train_step"):
             self.state, metrics = self._train_step(
                 self.state,

@@ -1317,3 +1317,99 @@ def test_distill_fused_paths_dp_mesh(distill_setup, cpu_devices, capsys):
     # tolerance, not bitwise.
     np.testing.assert_allclose(float(m4["loss"]), float(m1["loss"]),
                                rtol=2e-4)
+
+
+# -- Caption sequence packing (ops/packing.py) through the trainer ------------
+
+
+def _variable_length_batch(clip_cfg, seed=3):
+    """A FakePipeline batch whose caption lengths vary (3..3+B-1 tokens,
+    EOS-terminated) so packing places several captions per row."""
+    import dataclasses as dc
+
+    base = FakePipeline(clip_cfg, 1, seed=seed).batches[0]
+    rng = np.random.RandomState(seed + 100)
+    ids = rng.randint(1, 900, size=(B, T)).astype(np.int32)
+    mask = np.zeros((B, T), np.int32)
+    for b in range(B):
+        n = 3 + b  # distinct lengths, max 3+7=10 <= T=16
+        ids[b, n - 1] = clip_cfg.text.eos_token_id
+        ids[b, n:] = 0
+        mask[b, :n] = 1
+    return dc.replace(base, input_ids=ids, attention_mask=mask)
+
+
+def test_distill_packed_text_step_parity(distill_setup, cpu_devices):
+    """cfg.packed_text must not change training numerics: over a
+    variable-length batch the packed student loss AND its full gradient
+    tree match the unpacked path, and a full packed train step produces
+    the same step loss. Parity is pinned at the gradient level — post-Adam
+    params are NOT comparable (leaves whose true gradient is numeric
+    noise get sign-random updates of full learning-rate magnitude).
+    Single-data-shard mesh (the flag's supported domain)."""
+    import dataclasses
+
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    mesh1 = make_mesh(MeshConfig(data_parallel=1, model_parallel=1),
+                      devices=cpu_devices[:1])
+    batch = _variable_length_batch(clip_cfg)
+
+    # Sanity: packing actually compresses this batch.
+    from dclip_tpu.ops.packing import pack_captions
+
+    packed = pack_captions(
+        batch.input_ids, batch.attention_mask, clip_cfg.text.eos_token_id
+    )
+    assert packed["packed_ids"].shape[0] < B
+
+    trainer = DistillTrainer(
+        cfg, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=mesh1,
+    )
+    d = batch.as_dict()
+    ti, tt = trainer._teacher_targets(
+        trainer.teacher_clip_variables, trainer.teacher_params, d
+    )
+    plain_b = {k: d[k] for k in ("pixel_values", "input_ids",
+                                 "attention_mask")}
+    packed_b = {"pixel_values": d["pixel_values"], **packed}
+
+    def loss_of(b):
+        return lambda p: trainer._student_loss(p, ti, tt, b)[0]
+
+    params = trainer.state.params
+    l_plain, g_plain = jax.value_and_grad(loss_of(plain_b))(params)
+    l_packed, g_packed = jax.value_and_grad(loss_of(packed_b))(params)
+    np.testing.assert_allclose(float(l_packed), float(l_plain), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6
+        ),
+        jax.device_get(g_plain), jax.device_get(g_packed),
+    )
+
+    # And the full packed train step (host packing + bucketed H2D + jit)
+    # runs and reproduces the unpacked step loss.
+    t_packed = DistillTrainer(
+        dataclasses.replace(cfg, packed_text=True),
+        clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=mesh1,
+    )
+    assert t_packed._packed_text is True
+    m = t_packed.train_step_on_batch(batch)
+    assert np.isfinite(float(m["loss"]))
+    np.testing.assert_allclose(float(m["loss"]), float(l_plain), rtol=1e-5)
+
+
+def test_distill_packed_text_dp_gate(distill_setup, cpu_mesh, capsys):
+    """On a dp>1 mesh packed_text self-disables (packed row counts are not
+    dp-even) with a console note, and the step still runs unpacked."""
+    import dataclasses
+
+    clip_cfg, clip_vars, tparams, cfg = distill_setup
+    trainer = DistillTrainer(
+        dataclasses.replace(cfg, packed_text=True),
+        clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=cpu_mesh,
+    )
+    assert trainer._packed_text is False
+    assert "packed_text disabled" in capsys.readouterr().out
+    m = trainer.train_step_on_batch(_variable_length_batch(clip_cfg))
+    assert np.isfinite(float(m["loss"]))
