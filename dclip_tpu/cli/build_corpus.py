@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "default scans until the target is met")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--val_fraction", type=float, default=0.1)
+    p.add_argument("--allow_network", action="store_true",
+                   help="permit the Conceptual Captions live image fetch "
+                        "(reference big_teacher_data.py:228-350: browser "
+                        "UA, 5s timeout, PIL validation, 5x row "
+                        "oversampling). Zero-egress default: only images "
+                        "already on disk are used")
     return p
 
 
@@ -55,6 +61,7 @@ def main(argv=None) -> int:
         cc_images_dir=args.cc_images,
         cc_annotations_file=args.cc_annotations,
         cc_max_scan_rows=args.cc_max_scan_rows,
+        allow_network=args.allow_network,
         targets={
             "coco": args.coco_target,
             "visual_genome": args.vg_target,

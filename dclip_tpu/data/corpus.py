@@ -47,6 +47,12 @@ class CorpusPaths:
     # targets["conceptual_captions"] * 5 for the reference's exact row cap
     # (big_teacher_data.py:263 — its 5x oversampling can undershoot).
     cc_max_scan_rows: Optional[int] = None
+    # Egress gate for the CC live fetch (data.fetch): with it, missing CC
+    # images download like the reference (big_teacher_data.py:228-350);
+    # without it (default) only images already on disk are used.
+    allow_network: bool = False
+    # Injectable transport (url, timeout) -> bytes for offline tests.
+    cc_transport: Optional[object] = None
     targets: Dict[str, int] = field(default_factory=lambda: dict(DEFAULT_TARGETS))
 
 
@@ -196,9 +202,14 @@ def process_conceptual_captions(
             if len(row) < 2:
                 continue
             caption, url = row[0], row[1]
+            from dclip_tpu.data.fetch import cc_image_filename
+
             candidates = [
                 os.path.join(images_dir, f"cc_{row_idx}.jpg"),
                 os.path.join(images_dir, os.path.basename(url.split("?")[0])),
+                # Images a prior --allow_network fetch materialized use the
+                # reference's URL-derived naming (fetch.cc_image_filename).
+                os.path.join(images_dir, cc_image_filename(row_idx, url)),
             ]
             path = next((c for c in candidates if os.path.exists(c)), None)
             if path is None:
@@ -237,11 +248,23 @@ def combine_datasets(
         paths.flickr_images_dir or "", paths.flickr_annotations_file or "",
         paths.targets.get("flickr30k", 0),
     ) if paths.flickr_images_dir else []
-    all_data += process_conceptual_captions(
-        paths.cc_images_dir or "", paths.cc_annotations_file or "",
-        paths.targets.get("conceptual_captions", 0),
-        max_scan_rows=paths.cc_max_scan_rows,
-    ) if paths.cc_images_dir else []
+    if paths.cc_images_dir:
+        if paths.allow_network:
+            from dclip_tpu.data.fetch import fetch_conceptual_captions
+
+            all_data += fetch_conceptual_captions(
+                paths.cc_images_dir, paths.cc_annotations_file or "",
+                paths.targets.get("conceptual_captions", 0),
+                allow_network=True,
+                transport=paths.cc_transport,
+                max_scan_rows=paths.cc_max_scan_rows,
+            )
+        else:
+            all_data += process_conceptual_captions(
+                paths.cc_images_dir, paths.cc_annotations_file or "",
+                paths.targets.get("conceptual_captions", 0),
+                max_scan_rows=paths.cc_max_scan_rows,
+            )
 
     if not all_data:
         print("Warning: No datasets were successfully processed!")
