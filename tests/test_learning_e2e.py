@@ -97,3 +97,118 @@ def test_distillation_learns_synthetic_retrieval(cpu_devices):
     after = eval_r1(jax.device_get(trainer.state.params))
     assert after >= 0.9, (before, after)
     assert after > before
+
+
+# -- Teacher-quality signal (VERDICT r3 item 8) -------------------------------
+
+
+def _color_batch(tok, colors, names, batch, img, seed):
+    """Color-tile batch: image = solid class color + noise, caption names
+    the class, two boxes (full tile + center crop)."""
+    r = np.random.RandomState(seed)
+    labels = r.randint(0, len(colors), batch)
+    pixels = np.zeros((batch, img, img, 3), np.float32)
+    for i, lab in enumerate(labels):
+        pixels[i] = colors[lab] + r.randn(img, img, 3) * 0.05
+    ids, mask = tok.encode_batch(
+        [f"a photo of {names[lab]} tile" for lab in labels]
+    )
+    return Batch(
+        pixel_values=pixels, input_ids=ids, attention_mask=mask,
+        teacher_pixels=pixels,
+        boxes=np.tile(
+            [[[0, 0, img, img], [8, 8, 24, 24]]], (batch, 1, 1)
+        ).astype(np.float32),
+        conf=np.ones((batch, 2), np.float32),
+        box_mask=np.ones((batch, 2), np.float32),
+        index=np.arange(batch, dtype=np.int64),
+    ), labels
+
+
+def test_teacher_training_learns_region_text_alignment(cpu_devices):
+    """The teacher trainer's analogue of the distillation learning proof
+    (reference train_contrastive_teacher.py:333-368): training ONLY the
+    cross-attention on a synthetic region/text alignment task must produce
+    retrieval-style separation on HELD-OUT samples, through the fused
+    trainable cross-attention kernel (use_pallas; interpret on CPU).
+
+    fusion_alpha=0 scores the image-attended pathway alone: with the
+    reference's 0.5/0.5 fusion the text half of the fused global already
+    correlates with the text target at init (the residual stream), so
+    separation there would not pin that GRADIENTS through the kernel
+    optimize anything. Loss-decrease under the reference fusion is pinned
+    separately (test_trainers.test_teacher_trainer_loss_decreases).
+    """
+    from dclip_tpu.core.config import TeacherTrainConfig
+    from dclip_tpu.models.teacher import encode_tokens
+    from dclip_tpu.train.teacher_trainer import TeacherTrainer, masked_mean
+
+    cfg = CLIPConfig.tiny_test()
+    clip = CLIPModule(cfg)
+    variables = clip.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.text.max_length), jnp.int32),
+        jnp.zeros((1, IMG, IMG, 3)),
+    )
+    tok = HashTokenizer(vocab_size=1000, max_length=cfg.text.max_length)
+    tcfg = TeacherConfig(
+        embed_dim=cfg.projection_dim, num_heads=4, max_patches=2,
+        max_text_tokens=cfg.text.max_length, fusion_alpha=0.0,
+    )
+    tr_cfg = TeacherTrainConfig(
+        epochs=1, batch_size=B, learning_rate=5e-3, teacher=tcfg,
+        clip_model="tiny", use_pallas=True,
+        mesh=MeshConfig(data_parallel=1),
+    )
+    mesh = make_mesh(tr_cfg.mesh, devices=cpu_devices[:1])
+    trainer = TeacherTrainer(tr_cfg, variables, cfg, mesh=mesh)
+    assert trainer._module_pallas, "fused trainable kernel must engage"
+
+    rng = np.random.RandomState(0)
+    colors = rng.rand(N_CLASSES, 3)
+    names = [f"color{i}" for i in range(N_CLASSES)]
+
+    def eval_r1(seed):
+        """Held-out batch, one fresh-noise tile per class: retrieval R@1
+        of text means against the teacher's image-attended globals."""
+        r = np.random.RandomState(seed)
+        pixels = np.stack(
+            [colors[i] + r.randn(IMG, IMG, 3) * 0.05 for i in range(N_CLASSES)]
+        ).astype(np.float32)
+        ids, mask = tok.encode_batch(
+            [f"a photo of {names[i]} tile" for i in range(N_CLASSES)]
+        )
+        batch = Batch(
+            pixel_values=pixels, input_ids=ids, attention_mask=mask,
+            teacher_pixels=pixels,
+            boxes=np.tile(
+                [[[0, 0, IMG, IMG], [8, 8, 24, 24]]], (N_CLASSES, 1, 1)
+            ).astype(np.float32),
+            conf=np.ones((N_CLASSES, 2), np.float32),
+            box_mask=np.ones((N_CLASSES, 2), np.float32),
+            index=np.arange(N_CLASSES, dtype=np.int64),
+        )
+        db = trainer._device_batch(batch)
+        pe = trainer._patch_embeddings(batch, db)
+        te, tmask = encode_tokens(
+            trainer.clip, trainer.clip_variables,
+            db["input_ids"], db["attention_mask"], cfg.text.eos_token_id,
+        )
+        out = trainer.teacher.apply(
+            {"params": trainer.state.params}, te, pe, tmask, db["box_mask"]
+        )
+        m = retrieval_metrics(
+            masked_mean(te, tmask), out.image_global,
+            jnp.arange(N_CLASSES),
+        )
+        return float(m["t2i"]["R@1"])
+
+    before = eval_r1(seed=777)
+    losses = []
+    for step in range(200):
+        batch, _ = _color_batch(tok, colors, names, B, IMG, seed=step)
+        losses.append(float(trainer.train_step_on_batch(batch)["loss"]))
+    after = eval_r1(seed=777)
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    assert after >= 0.75, (before, after)
+    assert after > before
