@@ -178,12 +178,15 @@ def _run() -> dict:
     # recompute FLOPs for HBM) — the knob for the B=512 sweep, which OOMs
     # the 16 GB HBM without remat.
     remat = bool(int(os.environ.get("DCLIP_BENCH_REMAT", "0")))
-    # DCLIP_BENCH_PACKED=1: caption sequence packing for the student text
-    # tower (ops/packing.py) — several captions' content tokens share one
-    # 77-token row; applies to the cache-warm path (packing needs host-
-    # resident ids, which is the real pipeline's layout). MFU denominators
-    # shrink with the executed text rows (core.flops text_rows_fraction).
-    packed = bool(int(os.environ.get("DCLIP_BENCH_PACKED", "0")))
+    # DCLIP_BENCH_PACKED=0/1 overrides caption sequence packing for the
+    # student text tower (ops/packing.py) — several captions' content
+    # tokens share one 77-token row. Default auto (None): on for TPU,
+    # resolved by the trainer like the other fast paths. Measured v5e
+    # cache-warm: 1344 img/s packed vs 1137 unpacked at batch 256. MFU
+    # denominators shrink with the executed text rows
+    # (core.flops text_rows_fraction).
+    packed_env = os.environ.get("DCLIP_BENCH_PACKED")
+    packed = None if packed_env is None else bool(int(packed_env))
     clip_cfg = CLIPConfig.vit_b_16() if on_tpu else CLIPConfig.tiny_test()
     teacher_cfg = TeacherConfig(
         embed_dim=clip_cfg.projection_dim,

@@ -89,11 +89,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="opt-in trainable fused MLP kernels for the text "
                         "stack (measured slower than XLA on v5e at CLIP "
                         "text shapes; see kernels/mlp_trainable.py)")
-    p.add_argument("--packed_text", action="store_true",
+    p.add_argument("--packed_text",
+                   action=argparse.BooleanOptionalAction, default=None,
                    help="caption sequence packing for the student text "
                         "tower: several captions' content tokens share "
                         "one 77-token row (ops/packing.py; parity-pinned "
-                        "numerics; single-data-shard meshes only)")
+                        "numerics; single-data-shard meshes only). "
+                        "Default auto: on for TPU meshes")
     p.add_argument("--device_target_cache",
                    action=argparse.BooleanOptionalAction, default=None,
                    help="HBM-resident level-0 teacher-target cache: cached "

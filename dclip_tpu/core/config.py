@@ -306,8 +306,11 @@ class DistillConfig:
     # R << B rows with within-segment causal attention — reclaims the
     # FLOPs CLIP's pad-to-77 burns on padding (real captions run ~10-30
     # tokens). Numerics match the unpacked encode (parity-pinned).
-    # Single-data-shard meshes only (packed row counts are not dp-even).
-    packed_text: bool = False
+    # Measured on v5e (B/16, batch 256): cache-warm 1344 img/s vs 1137
+    # unpacked (+18%). None = auto: on for TPU meshes (gated at runtime to
+    # single-data-shard — packed row counts are not dp-even — and to
+    # host-resident ids), off elsewhere.
+    packed_text: Optional[bool] = None
     # Allow the TILED (weight-streaming) frozen-MLP pair where weights
     # overflow VMEM residency (ViT-L/14). Default OFF: measured slower
     # than XLA there on v5e (fwd+bwd 2.84 vs 1.85 ms at B=32) — XLA's
@@ -385,6 +388,8 @@ def resolve_fast_paths(cfg, platform: str):
         updates["use_pallas"] = use
     if getattr(cfg, "compact_patches", False) is None:
         updates["compact_patches"] = on_tpu
+    if getattr(cfg, "packed_text", False) is None:
+        updates["packed_text"] = on_tpu
     return dataclasses.replace(cfg, **updates) if updates else cfg
 
 

@@ -21,6 +21,13 @@ only then does math. Here the whole forward is three fixed-shape stages:
 Everything jits once; padded slots are inert via masks (`mask_padding=True`,
 the TPU-correct behavior) or participate like the reference's zero-padding
 (`mask_padding=False`, for bit-parity testing).
+
+Dormant-by-parity: `ops.aggregation.best_text_similarity` / `patch_weights`
+are implemented and tested but NOT on any compiled path here, mirroring the
+reference, whose `compute_patch_text_similarity` / `compute_image_patch_weight`
+(patch_text_aggregation.py:126-204) are likewise never reached from
+`compute_global_embedding_batch` — the fused global uses only the
+temperature aggregation + 0.5/0.5 fusion above.
 """
 from __future__ import annotations
 

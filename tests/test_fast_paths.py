@@ -28,6 +28,7 @@ def test_resolve_cpu_defaults():
     assert cfg.compute_dtype == "float32"
     assert cfg.use_pallas is False
     assert cfg.compact_patches is False
+    assert cfg.packed_text is False
 
 
 def test_resolve_tpu_defaults(monkeypatch):
@@ -36,6 +37,7 @@ def test_resolve_tpu_defaults(monkeypatch):
     assert cfg.compute_dtype == "bfloat16"
     assert cfg.use_pallas is True
     assert cfg.compact_patches is True
+    assert cfg.packed_text is True
 
 
 def test_resolve_tpu_pallas_unavailable_falls_back(monkeypatch):
