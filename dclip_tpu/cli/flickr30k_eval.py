@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">1: shard the embedding forwards and the rank "
                         "computation over a data-parallel device mesh of "
                         "this size (-1: all devices); metrics are exact")
+    p.add_argument("--packed_captions", action="store_true",
+                   help="caption sequence packing for the text encode "
+                        "(ops/packing.py): each batch embeds as R << B "
+                        "dense 77-token rows; numerics parity-pinned. "
+                        "Single-device only (ignored under --mesh_data)")
     add_model_args(p)
     return p
 
@@ -61,6 +66,7 @@ def main(argv=None) -> int:
         results["base"] = evaluate_retrieval(
             model, variables, tokenizer, items, args.batch_size,
             cfg.vision.image_size, mesh=mesh,
+            packed_captions=args.packed_captions,
         )
     if args.model in ("custom", "both"):
         if not args.checkpoint:
@@ -69,6 +75,7 @@ def main(argv=None) -> int:
         results["custom"] = evaluate_retrieval(
             model, {"params": params}, tokenizer, items, args.batch_size,
             cfg.vision.image_size, mesh=mesh,
+            packed_captions=args.packed_captions,
         )
     print_retrieval_table(results)
     return 0

@@ -63,8 +63,15 @@ def embed_captions(
     captions: Sequence[str],
     batch_size: int = 256,
     mesh=None,
+    packed: bool = False,
 ) -> np.ndarray:
-    from dclip_tpu.models.encoding import text_forward
+    """`packed=True` (single-device only): caption sequence packing
+    (ops/packing.py) — each `batch_size`-caption chunk encodes as R << B
+    dense 77-token rows (real captions run ~10-30 tokens, so the unpacked
+    encode spends most FLOPs on padding). Output order and numerics match
+    the unpacked path (parity pinned in tests); row counts are bucketed so
+    at most a handful of shapes compile."""
+    from dclip_tpu.models.encoding import packed_text_forward, text_forward
 
     in_sharding = None
     if mesh is not None:
@@ -72,9 +79,11 @@ def embed_captions(
 
         variables = replicate_tree(variables, mesh)
         in_sharding = batch_sharding(mesh)
+        packed = False  # packed row counts are not dp-even
     else:
         variables = jax.device_put(variables)  # once, not per jit call
     fwd = text_forward(model)  # memoized: repeat calls compile nothing
+    pfwd = packed_text_forward(model) if packed else None
     out = []
     for start in range(0, len(captions), batch_size):
         chunk = list(captions[start : start + batch_size])
@@ -82,6 +91,23 @@ def embed_captions(
         if n < batch_size:
             chunk += [""] * (batch_size - n)
         ids, mask = tokenizer.encode_batch(chunk)
+        if packed:
+            from dclip_tpu.ops.packing import pack_captions
+
+            p = pack_captions(
+                np.asarray(ids), np.asarray(mask),
+                model.cfg.text.eos_token_id,
+            )
+            emb = pfwd(
+                variables,
+                jnp.asarray(p["packed_ids"]),
+                jnp.asarray(p["packed_segments"]),
+                jnp.asarray(p["packed_positions"]),
+                jnp.asarray(p["packed_eos_rows"]),
+                jnp.asarray(p["packed_eos_cols"]),
+            )
+            out.append(np.asarray(emb)[:n])
+            continue
         if in_sharding is not None:
             ids = jax.device_put(np.asarray(ids), in_sharding)
             mask = jax.device_put(np.asarray(mask), in_sharding)
@@ -99,6 +125,7 @@ def evaluate_retrieval(
     batch_size: int = 256,
     image_size: int = 224,
     mesh=None,
+    packed_captions: bool = False,
 ) -> Dict[str, Dict[str, float]]:
     """Full protocol on one model -> {"t2i": {...}, "i2t": {...}}.
 
@@ -125,7 +152,8 @@ def evaluate_retrieval(
         model, variables, image_paths, batch_size, image_size, mesh=mesh
     )
     cap = embed_captions(
-        model, variables, tokenizer, captions, batch_size, mesh=mesh
+        model, variables, tokenizer, captions, batch_size, mesh=mesh,
+        packed=packed_captions,
     )
     if mesh is not None:
         from dclip_tpu.ops.retrieval import retrieval_metrics_sharded

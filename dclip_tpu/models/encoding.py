@@ -39,6 +39,20 @@ def text_forward(model: CLIPModule):
     )
 
 
+def packed_text_forward(model: CLIPModule):
+    """Jitted packed-caption text features (ops.packing layout): several
+    captions' content tokens per row, EOS-gathered back to caption order —
+    numerics match `text_forward` (parity pinned in tests/test_packing.py)."""
+    return _memoized_jit(
+        model,
+        "packed_text",
+        lambda: lambda v, ids, seg, pos, er, ec: model.apply(
+            v, ids, seg, pos, er, ec,
+            method=model.get_packed_text_features,
+        ),
+    )
+
+
 def image_forward(model: CLIPModule):
     """Jitted (variables, pixels) -> image features; stable across calls."""
     return _memoized_jit(

@@ -156,3 +156,38 @@ def test_sharded_eval_end_to_end(cpu_devices, tmp_path):
     for d in ("t2i", "i2t"):
         for k in ("R@1", "R@5", "R@10", "MAP"):
             np.testing.assert_allclose(got[d][k], want[d][k], atol=1e-6), (d, k)
+
+
+def test_packed_caption_embed_parity(cpu_devices):
+    """embed_captions(packed=True) must reproduce the unpacked embeddings
+    bit-close and in the same caption order — through the tail-padded
+    chunk path (captions not a batch multiple). Under a mesh the flag
+    self-disables (packed row counts are not dp-even)."""
+    import jax
+
+    from dclip_tpu.core.config import CLIPConfig, MeshConfig
+    from dclip_tpu.data.tokenizer import HashTokenizer
+    from dclip_tpu.eval.retrieval import embed_captions
+    from dclip_tpu.models.clip import CLIPModule
+    from dclip_tpu.parallel.mesh import make_mesh
+
+    cfg = CLIPConfig.tiny_test()
+    model = CLIPModule(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.ones((1, cfg.text.max_length), jnp.int32),
+        jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
+    )
+    tok = HashTokenizer(max_length=cfg.text.max_length)
+    captions = [f"tile number {i} " + "x " * (i % 5) for i in range(11)]
+
+    want = embed_captions(model, variables, tok, captions, batch_size=4)
+    got = embed_captions(model, variables, tok, captions, batch_size=4,
+                         packed=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+    mesh = make_mesh(MeshConfig(data_parallel=4), devices=cpu_devices[:4])
+    sharded = embed_captions(model, variables, tok, captions[:8],
+                             batch_size=4, mesh=mesh, packed=True)
+    np.testing.assert_allclose(sharded, want[:8], rtol=2e-5, atol=1e-6)
