@@ -176,7 +176,10 @@ def _run() -> dict:
     batch = int(os.environ.get("DCLIP_BENCH_BATCH", "256" if on_tpu else "8"))
     # DCLIP_BENCH_REMAT=1: jax.checkpoint each encoder layer (trades
     # recompute FLOPs for HBM) — the knob for the B=512 sweep, which OOMs
-    # the 16 GB HBM without remat.
+    # the 16 GB HBM without remat. MEASURED (remat + B=512, packed):
+    # uncached 331.0 img/s / cache-warm 1039.5 vs 362.3 / 1353.6 at B=256
+    # unremat — the recompute tax (one extra vision forward per backward)
+    # exceeds the larger-batch gain; 256 without remat stays optimal.
     remat = bool(int(os.environ.get("DCLIP_BENCH_REMAT", "0")))
     # DCLIP_BENCH_PACKED=0/1 overrides caption sequence packing for the
     # student text tower (ops/packing.py) — several captions' content
