@@ -187,7 +187,11 @@ def _run() -> dict:
     # resolved by the trainer like the other fast paths. Measured v5e
     # cache-warm: 1344 img/s packed vs 1137 unpacked at batch 256. MFU
     # denominators shrink with the executed text rows
-    # (core.flops text_rows_fraction).
+    # (core.flops text_rows_fraction). NOTE: uncached sweep figures
+    # recorded above/in the remat note predate packing on the uncached
+    # path (it timed an all-device batch, which packing skips — host
+    # computation); uncached now uses host text ids so epoch 0 packs
+    # exactly like a real pipeline run.
     packed_env = os.environ.get("DCLIP_BENCH_PACKED")
     packed = None if packed_env is None else bool(int(packed_env))
     clip_cfg = CLIPConfig.vit_b_16() if on_tpu else CLIPConfig.tiny_test()
@@ -258,7 +262,11 @@ def _run() -> dict:
 
     # Two batch layouts, device_put ONCE (the tunneled H2D link is slow; a
     # real input pipeline overlaps transfers — bench measures compute):
-    #   data_dev    everything on device (uncached timing; no host probes)
+    #   data_uncached big tensors on device; with packing on, text ids stay
+    #               host numpy (caption packing is a host computation that
+    #               only engages on the pipeline's numpy layout — an
+    #               all-device batch would silently time the UNPACKED
+    #               student text path while reporting packed_text=true).
     #   data_hybrid big pixel tensors on device, small fields host numpy —
     #               the real pipeline's layout, so cache keying stays a
     #               pure host computation (cache-warm timing).
@@ -269,25 +277,42 @@ def _run() -> dict:
     data_hybrid = dict(host_batch)
     for k in ("pixel_values", "teacher_pixels"):
         data_hybrid[k] = data_dev[k]
+    data_uncached = dict(data_dev)
+    if trainer._packed_text:
+        for k in ("input_ids", "attention_mask"):
+            data_uncached[k] = host_batch[k]
+
+    # Packed text executes R < B text rows — both steps' MFU denominators
+    # count only the GEMM work actually run (core.flops docstring).
+    text_frac = 1.0
+    if trainer._packed_text:
+        from dclip_tpu.ops.packing import pack_captions
+
+        text_frac = pack_captions(
+            host_batch["input_ids"], host_batch["attention_mask"],
+            clip_cfg.text.eos_token_id,
+        )["packed_ids"].shape[0] / batch
+        stage(f"packed text rows fraction: {text_frac:.3f}")
 
     # --- uncached step (epoch 0 compute): teacher targets on device, no
     # cache bookkeeping (cache writes are host I/O a real run overlaps).
     trainer.teacher_cache = None
     stage("batch on device; warmup/compile starting")
     for i in range(3):  # warmup: compile both jits
-        m = trainer.train_step_on_batch(data_dev)
+        m = trainer.train_step_on_batch(data_uncached)
         float(m["loss"])
         stage(f"warmup step {i} done")
     n_steps = 10
     dt_uncached = _time_steps(
-        lambda: trainer.train_step_on_batch(data_dev), n_steps
+        lambda: trainer.train_step_on_batch(data_uncached), n_steps
     )
     images_per_sec = n_steps * batch / dt_uncached
     stage(f"uncached measured: {images_per_sec:.1f} img/s")
     trainer.teacher_cache = cache
 
     flops_uncached = distill_step_flops(
-        trainer.student_config, trainer.teacher_clip_config, teacher_cfg, batch
+        trainer.student_config, trainer.teacher_clip_config, teacher_cfg,
+        batch, text_rows_fraction=text_frac,
     )
     mfu_uncached = mfu(flops_uncached * n_steps / dt_uncached, platform, dtype)
     # Honest "model FLOPs" MFU (PaLM convention): the denominator excludes
@@ -296,7 +321,7 @@ def _run() -> dict:
     mfu_uncached_true = mfu(
         distill_step_flops(
             trainer.student_config, trainer.teacher_clip_config, teacher_cfg,
-            batch, reference_mask=True,
+            batch, reference_mask=True, text_rows_fraction=text_frac,
         ) * n_steps / dt_uncached,
         platform, dtype,
     )
@@ -311,17 +336,6 @@ def _run() -> dict:
     dt_warm = _time_steps(warm_step, n_steps)
     warm_images_per_sec = n_steps * batch / dt_warm
     stage(f"cache-warm measured: {warm_images_per_sec:.1f} img/s")
-    # Packed text executes R < B text rows — the warm-step MFU denominator
-    # counts only the GEMM work actually run (core.flops docstring).
-    text_frac = 1.0
-    if trainer._packed_text:
-        from dclip_tpu.ops.packing import pack_captions
-
-        text_frac = pack_captions(
-            host_batch["input_ids"], host_batch["attention_mask"],
-            clip_cfg.text.eos_token_id,
-        )["packed_ids"].shape[0] / batch
-        stage(f"packed text rows fraction: {text_frac:.3f}")
     flops_warm = distill_step_flops(
         trainer.student_config, trainer.teacher_clip_config, teacher_cfg,
         batch, teacher_cached=True, text_rows_fraction=text_frac,

@@ -163,6 +163,21 @@ def main(argv: Optional[list] = None) -> int:
     data_hybrid = dict(host_batch)
     for k in ("pixel_values", "teacher_pixels"):
         data_hybrid[k] = data_dev[k]
+    # With packing on, the uncached step keeps text ids host-side so the
+    # host packing engages exactly like a real pipeline epoch-0 run (an
+    # all-device batch would silently time the UNPACKED text path while
+    # the warm row times the packed one — bench.py has the same layout).
+    data_uncached = dict(data_dev)
+    text_frac = 1.0
+    if trainer._packed_text:
+        from dclip_tpu.ops.packing import pack_captions
+
+        for k in ("input_ids", "attention_mask"):
+            data_uncached[k] = host_batch[k]
+        text_frac = pack_captions(
+            host_batch["input_ids"], host_batch["attention_mask"],
+            clip_cfg.text.eos_token_id,
+        )["packed_ids"].shape[0] / batch
 
     block_metrics = lambda m: float(m["loss"])  # noqa: E731
     steps = args.steps
@@ -170,7 +185,8 @@ def main(argv: Optional[list] = None) -> int:
     # -- full uncached step (epoch-0 path; no cache bookkeeping) ----------
     trainer.teacher_cache = None
     dt_full = _time_phase(
-        lambda: trainer.train_step_on_batch(data_dev), block_metrics, steps
+        lambda: trainer.train_step_on_batch(data_uncached), block_metrics,
+        steps,
     )
     if args.trace_dir:
         # Trace a SEPARATE short window after the untimed measurement:
@@ -179,7 +195,7 @@ def main(argv: Optional[list] = None) -> int:
         # figures) incomparable to the untraced phase rows.
         start_trace(args.trace_dir)
         for _ in range(min(3, steps)):
-            block_metrics(trainer.train_step_on_batch(data_dev))
+            block_metrics(trainer.train_step_on_batch(data_uncached))
         stop_trace()
 
     # -- teacher phases, isolated ----------------------------------------
@@ -210,7 +226,8 @@ def main(argv: Optional[list] = None) -> int:
 
     def _mfu(dt, cached, honest):
         f = distill_step_flops(scfg, tccfg, teacher_cfg, batch,
-                               teacher_cached=cached, reference_mask=honest)
+                               teacher_cached=cached, reference_mask=honest,
+                               text_rows_fraction=text_frac)
         return mfu(f / dt, platform, dtype)
 
     rows = [
@@ -227,6 +244,7 @@ def main(argv: Optional[list] = None) -> int:
         "backend": jax.default_backend(),
         "compute_dtype": dtype,
         "use_pallas": bool(trainer.cfg.use_pallas),
+        "packed_text": bool(trainer._packed_text),
         "phases_ms": {
             name.strip(): round(dt * 1e3, 2) for name, dt, _ in rows
         },

@@ -193,6 +193,8 @@ def process_conceptual_captions(
     """
     if not _available(images_dir, annotations_file, "Conceptual Captions"):
         return []
+    from dclip_tpu.data.fetch import cc_image_filename
+
     results = []
     with open(annotations_file, encoding="utf-8") as f:
         reader = csv.reader(f, delimiter="\t")
@@ -202,8 +204,6 @@ def process_conceptual_captions(
             if len(row) < 2:
                 continue
             caption, url = row[0], row[1]
-            from dclip_tpu.data.fetch import cc_image_filename
-
             candidates = [
                 os.path.join(images_dir, f"cc_{row_idx}.jpg"),
                 os.path.join(images_dir, os.path.basename(url.split("?")[0])),

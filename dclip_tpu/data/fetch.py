@@ -54,6 +54,37 @@ def default_transport(url: str, timeout: float = 30.0) -> bytes:
         return resp.read()
 
 
+_PRISTINE_DEFAULT_TRANSPORT = default_transport
+
+
+def _download_to_file(
+    url: str, dest: str, timeout: float, transport: Optional[Transport]
+) -> None:
+    """Atomic download to `dest`. With the default transport the body
+    streams straight to disk (the Karpathy coco zip is hundreds of MB —
+    buffering it as one bytes object is an avoidable RAM spike); an
+    injected transport still returns bytes, keeping tests offline. A
+    module-level `default_transport` replacement counts as injected —
+    it is the documented override point (module docstring)."""
+    if transport is None and default_transport is not _PRISTINE_DEFAULT_TRANSPORT:
+        transport = default_transport
+    tmp = dest + f".tmp.{os.getpid()}"
+    if transport is not None:
+        with open(tmp, "wb") as f:
+            f.write(transport(url, timeout))
+    else:
+        import shutil
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, headers={"User-Agent": BROWSER_USER_AGENT}
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            with open(tmp, "wb") as f:
+                shutil.copyfileobj(resp, f)
+    os.replace(tmp, dest)  # atomic: no half-written file survives
+
+
 def download_karpathy_split(
     dataset: str,
     data_dir: str,
@@ -87,11 +118,7 @@ def download_karpathy_split(
                 f"{zip_path}."
             )
         print(f"Downloading {dataset} Karpathy split...")
-        data = (transport or default_transport)(KARPATHY_URLS[dataset], timeout)
-        tmp = zip_path + f".tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, zip_path)  # atomic: no half-written zip survives
+        _download_to_file(KARPATHY_URLS[dataset], zip_path, timeout, transport)
     else:
         print(f"{dataset} Karpathy split zip already exists at {zip_path}")
     print(f"Extracting {zip_path}...")

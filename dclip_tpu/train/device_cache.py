@@ -60,12 +60,13 @@ import jax
 import jax.numpy as jnp
 
 
-def resolve_device_cache(mesh, requested: Optional[bool], host_cache) -> bool:
+def resolve_device_cache(requested: Optional[bool], host_cache) -> bool:
     """Shared trainer gate: device caching needs a host cache to front and
     a single-process run (under multihost, cache keys come from each
     process's LOCAL batch rows while the device buffer would be a global
-    array — the host cache serves that case). Any single-process mesh
-    qualifies: under dp>1 the buffer rows shard over the data axis.
+    array — the host cache serves that case). The mesh shape is
+    deliberately NOT consulted: any single-process mesh qualifies, since
+    under dp>1 the buffer rows shard over the data axis.
     `requested=None` means auto (on when eligible)."""
     if host_cache is None:
         return False

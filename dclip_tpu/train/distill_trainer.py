@@ -336,7 +336,7 @@ class DistillTrainer(BaseTrainer):
             resolve_device_cache,
         )
 
-        if resolve_device_cache(self.mesh, cfg.device_target_cache, teacher_cache):
+        if resolve_device_cache(cfg.device_target_cache, teacher_cache):
             budget = cfg.device_cache_mb * (1 << 20)
             d = cfg.teacher.embed_dim
             # Patch embeddings dominate bytes (P x D vs 2 x D) and are
@@ -640,13 +640,16 @@ class DistillTrainer(BaseTrainer):
             )
         if (
             self.cfg.use_pallas
-            # Single data shard only: the loss is GLOBAL over the batch
+            # Single-device meshes only: the loss is GLOBAL over the batch
             # ([B, B] similarity), so under dp>1 the XLA path is the
             # mesh-true one — GSPMD all-gathers the [B, D] embeddings and
             # row-shards the similarity GEMMs, while the fused kernel
             # (no partitioning rule) would compute the whole matrix
-            # replicated on every device.
-            and self.mesh.shape.get(self.cfg.mesh.data_axis, 1) == 1
+            # replicated on every device. The same applies under mp>1:
+            # the embeddings arrive TP-sharded and the kernel would force
+            # a gather + fully replicated fwd/bwd, so the gate requires
+            # the whole mesh trivial, not just the data axis.
+            and self.mesh.devices.size == 1
             and student_img.shape[0] <= 1024  # fused-kernel VMEM bound
         ):
             from dclip_tpu.kernels import fused_distillation_loss

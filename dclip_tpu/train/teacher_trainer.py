@@ -167,7 +167,7 @@ class TeacherTrainer(BaseTrainer):
             resolve_device_cache,
         )
 
-        if resolve_device_cache(self.mesh, cfg.device_target_cache, pe_cache):
+        if resolve_device_cache(cfg.device_target_cache, pe_cache):
             # Batch sharding (not a bare device): hit-path gathers must
             # carry the same sharding as the miss path or the loss jits
             # would retrace on the first hit (device_cache.py docstring).
