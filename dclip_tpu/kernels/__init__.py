@@ -8,7 +8,6 @@ from dclip_tpu.kernels.cross_attention import (
     cross_attention_trainable,
 )
 from dclip_tpu.kernels.vit_attention import (
-    self_attention_bwd_fused,
     self_attention_fused,
     self_attention_trainable,
 )
@@ -157,7 +156,6 @@ __all__ = [
     "mlp_block_trainable",
     "mlp_trainable_fit",
     "pallas_available",
-    "self_attention_bwd_fused",
     "self_attention_fused",
     "self_attention_trainable",
     "fused_distillation_loss",

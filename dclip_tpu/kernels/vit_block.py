@@ -59,16 +59,24 @@ def _attn_kernel(num_heads: int, eps: float,
     d = x.shape[-1]
     head_dim = d // num_heads
     scale = head_dim**-0.5
-    outs = []
-    for hh in range(num_heads):
-        sl = slice(hh * head_dim, (hh + 1) * head_dim)
-        logits = jax.lax.dot_general(
+    # Phase-split head loop (all QK^T GEMMs, all softmaxes, all PV GEMMs)
+    # so the MXU drains head h+1's logits while the VPU runs head h's
+    # softmax — same scheduling fix as kernels.vit_attention, where the
+    # interleaved order measured up to 38% slower at these shapes.
+    sls = [slice(hh * head_dim, (hh + 1) * head_dim) for hh in range(num_heads)]
+    logits = [
+        jax.lax.dot_general(
             q[:, sl] * scale, k[:, sl],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        probs = jax.nn.softmax(logits, axis=-1)
-        outs.append(jnp.dot(probs, v[:, sl], preferred_element_type=jnp.float32))
+        for sl in sls
+    ]
+    probs = [jax.nn.softmax(l, axis=-1) for l in logits]
+    outs = [
+        jnp.dot(p, v[:, sl], preferred_element_type=jnp.float32)
+        for p, sl in zip(probs, sls)
+    ]
     attn = jnp.concatenate(outs, axis=-1)
     out = jnp.dot(attn, wo_ref[:].astype(jnp.float32),
                   preferred_element_type=jnp.float32) + bo_ref[:]

@@ -233,6 +233,67 @@ def test_vit_self_attention_trainable_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
 
 
+def test_vit_self_attention_trainable_grads_masked():
+    """Gradients through the fused kernel under the causal + key-padding
+    masks (the unpacked text-tower configuration, models/clip.py:75-84):
+    the stats-reusing backward recomputes p from MASKED logits — an
+    unmasked recompute would give nonzero dS at masked positions."""
+    from dclip_tpu.kernels.vit_attention import (
+        _xla_attention,
+        self_attention_trainable,
+    )
+
+    rng = np.random.RandomState(2)
+    b, s, d, heads = 2, 9, 16, 2
+    q = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    pad = jnp.asarray([[1] * 6 + [0] * 3, [1] * 9], jnp.float32)
+
+    for causal, mask in ((True, pad), (True, None), (False, pad)):
+        def loss_fused(q, k, v, causal=causal, mask=mask):
+            return jnp.sum(
+                self_attention_trainable(
+                    q, k, v, num_heads=heads, padding_mask=mask,
+                    causal=causal, interpret=True) ** 2
+            )
+
+        def loss_xla(q, k, v, causal=causal, mask=mask):
+            return jnp.sum(
+                _xla_attention(q, k, v, heads, padding_mask=mask,
+                               causal=causal) ** 2
+            )
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g_fused, g_xla):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5,
+                err_msg=f"causal={causal} mask={'pad' if mask is not None else None}",
+            )
+
+
+def test_vit_self_attention_fwd_stats_bit_parity():
+    """The stats-emitting forward (what the trainable path actually runs)
+    is BIT-identical to self_attention_fused — e/s is the same op
+    sequence jax.nn.softmax performs."""
+    from dclip_tpu.kernels.vit_attention import (
+        _self_attention_fwd_stats,
+        self_attention_fused,
+    )
+
+    rng = np.random.RandomState(3)
+    b, s, d, heads = 2, 13, 32, 4
+    q = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    want = self_attention_fused(q, k, v, num_heads=heads, interpret=True)
+    got, m, r = _self_attention_fwd_stats(q, k, v, num_heads=heads,
+                                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert m.shape == (b, s, heads) and r.shape == (b, s, heads)
+
+
 def test_clip_module_fused_attention_parity():
     """CLIPModule(fused_attention=True) == the XLA module bit-for-bit on
     image features AND their gradients (interpret mode on CPU)."""
