@@ -24,6 +24,16 @@ Extras reported alongside:
                             cache hot (epochs >= 1: student fwd/bwd only)
   cache_warm_mfu            MFU of the cache-warm step (2x-forward conv.)
   cache_warm_mfu_masked_true  cache-warm MFU, model-FLOPs denominator
+  dp_equivalent_images_per_sec  the SAME uncached step in the exact
+                            configuration a dp>1 mesh runs per device
+                            (shard_map-wrapped kernels, XLA all-gather
+                            loss, per-shard packing/compaction) on this
+                            one chip — what the headline costs per chip
+                            on the north-star multi-chip topology, minus
+                            ICI collective time (unmeasurable on 1 chip).
+                            DCLIP_BENCH_DP_EQUIV=0 skips it.
+  dp_equivalent_mfu_true    its model-FLOPs MFU
+  dp_equivalent_cache_warm_images_per_sec / _mfu_true  cache-warm twin
   flops_per_image           analytic FLOPs of the uncached step / image
   note                      H2D excluded (one device_put; a real input
                             pipeline overlaps transfers)
@@ -84,10 +94,12 @@ def main() -> None:
     # stale failure memo would silently bench the fallback path (round-2
     # artifact regression). The parent deadline + XLA retry below IS the
     # safety net the probe exists to provide.
-    # 840s: warm-cache child measured ~250-300s; the deadline absorbs one
-    # degraded-tunnel window (observed 367s execution stall) without giving
-    # up the Pallas path. The XLA retry below still bounds the total.
-    first = float(os.environ.get("DCLIP_BENCH_CHILD_TIMEOUT", "840"))
+    # 1000s: warm-cache child measured ~250-300s; +dp-equivalent trainer
+    # adds its own compiles (~100s cold, cached thereafter); the deadline
+    # also absorbs one degraded-tunnel window (observed 367s execution
+    # stall) without giving up the Pallas path. The XLA retry below still
+    # bounds the total.
+    first = float(os.environ.get("DCLIP_BENCH_CHILD_TIMEOUT", "1000"))
     result = attempt({"DCLIP_FORCE_PALLAS": "1"}, first)
     if result is None:
         # Degradation windows come and go on the order of minutes; a
@@ -336,6 +348,65 @@ def _run() -> dict:
     dt_warm = _time_steps(warm_step, n_steps)
     warm_images_per_sec = n_steps * batch / dt_warm
     stage(f"cache-warm measured: {warm_images_per_sec:.1f} img/s")
+
+    # --- dp-equivalent step: the exact per-device configuration a dp>1
+    # mesh runs (shard_map-wrapped kernels, XLA all-gather loss, per-shard
+    # packing/compaction), measured on this one chip so the multi-chip
+    # perf story matches the benched one. Same weights, same batches.
+    dp_eq: dict = {}
+    if os.environ.get("DCLIP_BENCH_DP_EQUIV", "1") != "0":
+        stage("constructing dp-equivalent trainer")
+        trainer_eq = DistillTrainer(
+            cfg, variables, variables, tparams, clip_cfg, clip_cfg,
+            mesh=mesh, teacher_cache=None, dp_equivalent=True,
+        )
+        for i in range(3):
+            m = trainer_eq.train_step_on_batch(data_uncached)
+            float(m["loss"])
+            stage(f"dp-equivalent warmup step {i} done")
+        dt_eq = _time_steps(
+            lambda: trainer_eq.train_step_on_batch(data_uncached), n_steps
+        )
+        eq_ips = n_steps * batch / dt_eq
+        stage(f"dp-equivalent uncached measured: {eq_ips:.1f} img/s")
+        # Same analytic FLOPs as the headline step (packing with one
+        # shard packs identically; dp_equivalent changes scheduling, not
+        # math), so MFU reuses the headline denominators.
+        eq_mfu_true = mfu(
+            distill_step_flops(
+                trainer_eq.student_config, trainer_eq.teacher_clip_config,
+                teacher_cfg, batch, reference_mask=True,
+                text_rows_fraction=text_frac,
+            ) * n_steps / dt_eq,
+            platform, dtype,
+        )
+        # Cache-warm twin (student fwd/bwd only): feed the teacher targets
+        # from the headline trainer's cache via the hybrid batch.
+        trainer_eq.teacher_cache = cache
+        for _ in range(3):
+            m = trainer_eq.train_step_on_batch(data_hybrid)
+            float(m["loss"])
+        dt_eq_warm = _time_steps(
+            lambda: trainer_eq.train_step_on_batch(data_hybrid), n_steps
+        )
+        eq_warm_ips = n_steps * batch / dt_eq_warm
+        stage(f"dp-equivalent cache-warm measured: {eq_warm_ips:.1f} img/s")
+        eq_warm_mfu_true = mfu(
+            distill_step_flops(
+                trainer_eq.student_config, trainer_eq.teacher_clip_config,
+                teacher_cfg, batch, teacher_cached=True, reference_mask=True,
+                text_rows_fraction=text_frac,
+            ) * n_steps / dt_eq_warm,
+            platform, dtype,
+        )
+        dp_eq = {
+            "dp_equivalent_images_per_sec": round(eq_ips, 2),
+            "dp_equivalent_mfu_true": round(eq_mfu_true, 4)
+            if eq_mfu_true is not None else None,
+            "dp_equivalent_cache_warm_images_per_sec": round(eq_warm_ips, 2),
+            "dp_equivalent_cache_warm_mfu_true": round(eq_warm_mfu_true, 4)
+            if eq_warm_mfu_true is not None else None,
+        }
     flops_warm = distill_step_flops(
         trainer.student_config, trainer.teacher_clip_config, teacher_cfg,
         batch, teacher_cached=True, text_rows_fraction=text_frac,
@@ -370,7 +441,10 @@ def _run() -> dict:
         "cache_warm_mfu": rnd(mfu_warm, 4),
         "cache_warm_mfu_masked_true": rnd(mfu_warm_true, 4),
         "packed_text": bool(trainer._packed_text),
-        "note": "H2D excluded (single device_put; input pipeline overlaps)",
+        **dp_eq,
+        "note": "H2D excluded (single device_put; input pipeline overlaps); "
+                "dp_equivalent_* = per-chip cost of the dp>1 step config "
+                "(shard_map kernels + XLA global loss), excl. ICI",
     }
 
 

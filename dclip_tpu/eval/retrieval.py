@@ -65,25 +65,38 @@ def embed_captions(
     mesh=None,
     packed: bool = False,
 ) -> np.ndarray:
-    """`packed=True` (single-device only): caption sequence packing
-    (ops/packing.py) — each `batch_size`-caption chunk encodes as R << B
-    dense 77-token rows (real captions run ~10-30 tokens, so the unpacked
-    encode spends most FLOPs on padding). Output order and numerics match
-    the unpacked path (parity pinned in tests); row counts are bucketed so
-    at most a handful of shapes compile."""
+    """`packed=True`: caption sequence packing (ops/packing.py) — each
+    `batch_size`-caption chunk encodes as R << B dense 77-token rows (real
+    captions run ~10-30 tokens, so the unpacked encode spends most FLOPs
+    on padding). Output order and numerics match the unpacked path (parity
+    pinned in tests); row counts are bucketed so at most a handful of
+    shapes compile. Under a `mesh`, captions pack PER DATA SHARD (same
+    bucketed row count per shard, so the packed arrays stay dp-even) with
+    eos rows globalized for the GSPMD gather."""
     from dclip_tpu.models.encoding import packed_text_forward, text_forward
 
     in_sharding = None
+    n_shards = 1
     if mesh is not None:
         from dclip_tpu.parallel.mesh import batch_sharding, replicate_tree
 
         variables = replicate_tree(variables, mesh)
         in_sharding = batch_sharding(mesh)
-        packed = False  # packed row counts are not dp-even
+        n_shards = mesh.shape["data"]
+        if batch_size % n_shards != 0:
+            raise ValueError(
+                f"the data-axis size ({n_shards}) must divide batch_size "
+                f"{batch_size}"
+            )
     else:
         variables = jax.device_put(variables)  # once, not per jit call
     fwd = text_forward(model)  # memoized: repeat calls compile nothing
     pfwd = packed_text_forward(model) if packed else None
+    put = (
+        (lambda a: jax.device_put(jnp.asarray(a), in_sharding))
+        if in_sharding is not None
+        else jnp.asarray
+    )
     out = []
     for start in range(0, len(captions), batch_size):
         chunk = list(captions[start : start + batch_size])
@@ -92,19 +105,31 @@ def embed_captions(
             chunk += [""] * (batch_size - n)
         ids, mask = tokenizer.encode_batch(chunk)
         if packed:
-            from dclip_tpu.ops.packing import pack_captions
-
-            p = pack_captions(
-                np.asarray(ids), np.asarray(mask),
-                model.cfg.text.eos_token_id,
+            from dclip_tpu.ops.packing import (
+                globalize_eos_rows,
+                pack_captions,
+                pack_captions_sharded,
             )
+
+            if n_shards > 1:
+                p = globalize_eos_rows(
+                    pack_captions_sharded(
+                        np.asarray(ids), np.asarray(mask),
+                        model.cfg.text.eos_token_id, n_shards,
+                    ),
+                    n_shards,
+                )
+                p.pop("rows_per_shard")
+            else:
+                p = pack_captions(
+                    np.asarray(ids), np.asarray(mask),
+                    model.cfg.text.eos_token_id,
+                )
             emb = pfwd(
                 variables,
-                jnp.asarray(p["packed_ids"]),
-                jnp.asarray(p["packed_segments"]),
-                jnp.asarray(p["packed_positions"]),
-                jnp.asarray(p["packed_eos_rows"]),
-                jnp.asarray(p["packed_eos_cols"]),
+                put(p["packed_ids"]), put(p["packed_segments"]),
+                put(p["packed_positions"]),
+                put(p["packed_eos_rows"]), put(p["packed_eos_cols"]),
             )
             out.append(np.asarray(emb)[:n])
             continue

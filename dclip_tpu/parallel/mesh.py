@@ -55,7 +55,9 @@ def make_mesh(
 
 
 def make_multislice_mesh(
-    cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = None
+    cfg: Optional[MeshConfig] = None,
+    devices: Optional[Sequence] = None,
+    slice_index_fn=None,
 ) -> Mesh:
     """Multi-slice mesh: model parallelism inside a slice (ICI), data
     parallelism within AND across slices, with the cross-slice factor
@@ -65,17 +67,34 @@ def make_multislice_mesh(
     Falls back to the flat `make_mesh` only when the devices expose no
     slice topology (single slice / CPU test meshes). Misconfigurations
     (model_parallel not dividing chips-per-slice, data_parallel
-    incompatible with the topology) raise instead of silently degrading.
+    incompatible with the topology, ragged slices) raise instead of
+    silently degrading.
+
+    `slice_index_fn(device) -> int` overrides the device's `slice_index`
+    attribute — the seam that lets tests and the driver dryrun exercise
+    this path on virtual CPU devices (which expose no slice topology).
+    With an injected fn the hybrid grid is built directly (slice-major
+    data axis, TP inside a slice — the same layout
+    `mesh_utils.create_hybrid_device_mesh` produces) because mesh_utils
+    reads real device attributes.
     """
     cfg = cfg or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
-    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    slice_of = slice_index_fn or (lambda d: getattr(d, "slice_index", 0))
+    slice_ids = sorted({slice_of(d) for d in devices})
     if len(slice_ids) <= 1:
         return make_mesh(cfg, devices)
 
-    from jax.experimental import mesh_utils
-
     num_slices = len(slice_ids)
+    groups = {s: [] for s in slice_ids}
+    for d in devices:
+        groups[slice_of(d)].append(d)
+    sizes = {s: len(g) for s, g in groups.items()}
+    if len(set(sizes.values())) != 1:
+        raise ValueError(
+            f"ragged slices (chips per slice: {sizes}) — a hybrid mesh "
+            "needs equal-size slices"
+        )
     chips_per_slice = len(devices) // num_slices
     mp = max(cfg.model_parallel, 1)
     if chips_per_slice % mp != 0:
@@ -90,11 +109,22 @@ def make_multislice_mesh(
             f"data_parallel={cfg.data_parallel} incompatible with topology: "
             f"{num_slices} slices x {chips_per_slice} chips / mp={mp} -> dp={dp}"
         )
-    grid = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(intra_dp, mp),  # within a slice (ICI)
-        dcn_mesh_shape=(num_slices, 1),  # across slices (DCN)
-        devices=devices,
-    )
+    if slice_index_fn is not None:
+        grid = np.stack(
+            [
+                np.asarray(groups[s], dtype=object).reshape(intra_dp, mp)
+                for s in slice_ids
+            ],
+            axis=0,
+        ).reshape(dp, mp)
+    else:
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(intra_dp, mp),  # within a slice (ICI)
+            dcn_mesh_shape=(num_slices, 1),  # across slices (DCN)
+            devices=devices,
+        )
     return Mesh(grid, (cfg.data_axis, cfg.model_axis))
 
 

@@ -73,6 +73,9 @@ def budgeted_patch_encode(
     jit_cache: Dict[int, object],
     compact: bool,
     image_features_fn=None,
+    image_features_base_fn=None,
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Patch-encode with optional crop compaction (shared by both trainers).
 
@@ -81,6 +84,16 @@ def budgeted_patch_encode(
     keyed by budget ONLY: callers must use one jit_cache per
     (model, image_features_fn) pair — trainers hold their own dict, so a
     different fn with a reused dict would silently serve stale closures.
+
+    With `mesh` (dp-like execution) the WHOLE encode — crop, compaction
+    gather, features — runs inside ONE shard_map over `data_axis`: each
+    device compacts its own batch rows to a PER-SHARD budget (the max over
+    shards' buckets, so one static shape serves every shard), no
+    cross-shard reshuffle. `image_features_base_fn` is the unwrapped
+    feature fn for that path (shard_map does not nest);
+    `image_features_fn` (possibly already shard_map-wrapped) serves the
+    meshless path. Under multihost the budget is agreed across processes
+    via an allgathered max.
     """
     from dclip_tpu.models.teacher import (
         encode_patches,
@@ -88,10 +101,44 @@ def budgeted_patch_encode(
         patch_budget,
     )
 
+    dp = mesh.shape.get(data_axis, 1) if mesh is not None else 1
+
     def get_step(budget: int):
         step = jit_cache.get(budget)
         if step is None:
-            if budget <= 0:
+            if mesh is not None:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                def _inner(v, px, bx, bm, _budget=budget):
+                    if _budget <= 0:
+                        return encode_patches(
+                            clip_model, v, px, bx, bm,
+                            patch_size=clip_config.vision.image_size,
+                            image_features_fn=image_features_base_fn,
+                        )
+                    return encode_patches_compact(
+                        clip_model, v, px, bx, bm,
+                        patch_size=clip_config.vision.image_size,
+                        budget=_budget,
+                        image_features_fn=image_features_base_fn,
+                    )
+
+                def _sharded(variables, batch):
+                    return shard_map(
+                        _inner,
+                        mesh=mesh,
+                        in_specs=(P(), P(data_axis), P(data_axis),
+                                  P(data_axis)),
+                        out_specs=P(data_axis),
+                        check_vma=False,
+                    )(
+                        variables, batch["teacher_pixels"], batch["boxes"],
+                        batch["box_mask"],
+                    )
+
+                step = jax.jit(_sharded)
+            elif budget <= 0:
                 def _dense(variables, batch):
                     return encode_patches(
                         clip_model, variables,
@@ -128,9 +175,31 @@ def budgeted_patch_encode(
         # device-resident mask would add a blocking D2H round-trip to every
         # step — on a tunneled TPU that costs more than compaction saves.
         if isinstance(mask, np.ndarray):
-            b = patch_budget(int(mask.sum()), mask.size)
-            if b < mask.size:
-                budget = b
+            if mesh is not None:
+                # Per-SHARD budget: the shard_map body sees local rows, so
+                # the bucket covers the fullest shard this process holds —
+                # and, under multihost, the fullest shard anywhere (one
+                # static shape globally).
+                nproc = jax.process_count()
+                local_shards = max(dp // nproc, 1)
+                counts = mask.reshape(local_shards, -1).sum(axis=1)
+                cmax = int(counts.max())
+                if nproc > 1:
+                    from jax.experimental import multihost_utils
+
+                    cmax = int(np.max(np.asarray(
+                        multihost_utils.process_allgather(
+                            jnp.asarray(cmax, jnp.int32)
+                        )
+                    )))
+                slots = mask.size // local_shards
+                b = patch_budget(cmax, slots)
+                if b < slots:
+                    budget = b
+            else:
+                b = patch_budget(int(mask.sum()), mask.size)
+                if b < mask.size:
+                    budget = b
     return get_step(budget)(clip_variables, device_batch)
 
 

@@ -193,7 +193,16 @@ class DistillTrainer(BaseTrainer):
         teacher_cache: Optional["TeacherTargetCache"] = None,
         knn_store=None,
         projection_params=None,
+        dp_equivalent: bool = False,
     ):
+        """`dp_equivalent=True` (bench mode): force every gate that keys on
+        "is this a multi-device data-parallel mesh" — shard_map-wrapped
+        kernels, per-shard packing/compaction, the XLA (all-gather) global
+        loss instead of the fused single-device kernel — even on a
+        1-device mesh. On one chip this runs the EXACT per-device step a
+        dp>1 mesh runs (minus the ICI collectives), so the bench can
+        report what the headline costs per chip on the north-star
+        topology instead of implying the dp=1 number scales linearly."""
         self.cfg = cfg
         self.student_config = student_config or CLIPConfig.from_name(cfg.student_model)
         self.teacher_clip_config = teacher_clip_config or CLIPConfig.from_name(
@@ -228,19 +237,27 @@ class DistillTrainer(BaseTrainer):
         )
         self._student_dtype = dtype
         self._unfrozen_extra: tuple = ()
+        dp_size = self.mesh.shape.get(cfg.mesh.data_axis, 1)
+        mp_size = self.mesh.shape.get(cfg.mesh.model_axis, 1)
+        # dp-style execution: a real multi-device data axis, or bench mode
+        # forcing the dp gates on one chip (see __init__ docstring).
+        self._dp_equivalent = bool(dp_equivalent)
+        self._dp_like = dp_size > 1 or self._dp_equivalent
         # Pallas kernels INSIDE the Flax modules (fused attention, fused
-        # MLP pairs) have no GSPMD partitioning rule: on a multi-device
-        # mesh the partitioner would all-gather their batch-sharded
-        # operands and compute the full global batch replicated per
-        # device — per-layer gathers that erase the dp scaling the mesh
-        # exists for. The differentiated module paths therefore demote to
-        # their XLA twins off single-device meshes; the FROZEN
-        # out-of-module surfaces (region encode, teacher-tail
-        # cross-attention) stay Pallas via shard_map over the data axis.
-        self._module_pallas = bool(cfg.use_pallas) and self.mesh.devices.size == 1
+        # MLP pairs) have no GSPMD partitioning rule: under plain jit with
+        # batch-sharded operands the partitioner would all-gather them and
+        # compute the full global batch replicated per device. They are
+        # batch-parallel, though, and shard_map composes with autodiff —
+        # so under dp-only meshes every encoder apply (student fwd/bwd,
+        # teacher-tail text encode) routes through shard_map over the data
+        # axis and the kernels stay engaged (parity pinned in
+        # tests/test_mesh_true_paths.py). Only mp>1 demotes to the XLA
+        # twins: the CLIP weights are TP-sharded there and the kernels
+        # assume whole weights VMEM-resident.
+        self._module_pallas = bool(cfg.use_pallas) and mp_size == 1
         if cfg.use_pallas and not self._module_pallas:
             print("in-module Pallas kernels demoted to XLA twins: "
-                  "multi-device mesh (frozen paths stay fused via shard_map)")
+                  "tensor-parallel mesh (mp>1; weights are TP-sharded)")
         self.student = self._make_student(student_variables["params"])
         self.teacher_clip = CLIPModule(
             self.teacher_clip_config, dtype=dtype,
@@ -261,8 +278,7 @@ class DistillTrainer(BaseTrainer):
         # mp>1 demotes to the module path (the CLIP weights are TP-sharded
         # there; the kernels assume whole weights VMEM-resident).
         self._frozen_image_features = None
-        dp_size = self.mesh.shape.get(cfg.mesh.data_axis, 1)
-        mp_size = self.mesh.shape.get(cfg.mesh.model_axis, 1)
+        self._frozen_image_features_base = None
         if cfg.use_pallas and mp_size == 1:
             from dclip_tpu.kernels.vit_block import fused_image_features
 
@@ -271,7 +287,11 @@ class DistillTrainer(BaseTrainer):
             base = lambda v, px: fused_image_features(  # noqa: E731
                 _tccfg, v, px, dtype=dtype, interpret=_interp
             )
-            if dp_size > 1:
+            # The UNWRAPPED base also feeds the sharded compact encode
+            # (base.budgeted_patch_encode wraps the whole gather+encode in
+            # ONE shard_map; shard_map does not nest).
+            self._frozen_image_features_base = base
+            if self._dp_like:
                 from dclip_tpu.parallel.mesh import shard_map_batchwise
 
                 base = shard_map_batchwise(
@@ -292,13 +312,50 @@ class DistillTrainer(BaseTrainer):
             xattn = lambda p, te, pe, tm, pm: cross_attention_fused(  # noqa: E731
                 p, te, pe, tm, pm, num_heads=_nh, interpret=_interp_x
             )
-            if self.mesh.devices.size > 1:
+            if self.mesh.devices.size > 1 or self._dp_equivalent:
                 from dclip_tpu.parallel.mesh import shard_map_batchwise
 
                 xattn = shard_map_batchwise(
                     xattn, self.mesh, cfg.mesh.data_axis, n_args=4
                 )
             self._fused_cross_attention = xattn
+
+        # Differentiated encoder applies. Under dp-like meshes with the
+        # in-module kernels engaged, each apply is shard_map-wrapped over
+        # the data axis: every device runs the Pallas kernels on its own
+        # batch shard (weights replicated — the transpose psums their
+        # cotangents over the axis), and only the [B, D] embeddings are
+        # gathered by the global loss. The lambdas read self.student at
+        # TRACE time, so post-unfreeze module rebuilds are picked up on
+        # the retrace.
+        self._student_image = lambda p, px: self.student.apply(
+            {"params": p}, px, method=self.student.get_image_features
+        )
+        self._student_text = lambda p, ids, am: self.student.apply(
+            {"params": p}, ids, am, method=self.student.get_text_features
+        )
+        self._student_packed_text = lambda p, *packed: self.student.apply(
+            {"params": p}, *packed,
+            method=self.student.get_packed_text_features,
+        )
+        self._encode_tokens = lambda v, ids, am: encode_tokens(
+            self.teacher_clip, v, ids, am,
+            self.teacher_clip_config.text.eos_token_id,
+        )
+        # Packed eos rows are shard-LOCAL iff the packed forward gathers
+        # inside shard_map (see _maybe_pack_text).
+        self._packed_wrapped = False
+        if self._module_pallas and self._dp_like:
+            from dclip_tpu.parallel.mesh import shard_map_batchwise
+
+            wrap = lambda fn, n: shard_map_batchwise(  # noqa: E731
+                fn, self.mesh, cfg.mesh.data_axis, n_args=n
+            )
+            self._student_image = wrap(self._student_image, 1)
+            self._student_text = wrap(self._student_text, 2)
+            self._student_packed_text = wrap(self._student_packed_text, 5)
+            self._encode_tokens = wrap(self._encode_tokens, 2)
+            self._packed_wrapped = True
 
         self._build_optimizer(student_variables["params"])
         self.state = TrainState.create(student_variables["params"], self.tx)
@@ -354,21 +411,14 @@ class DistillTrainer(BaseTrainer):
                 (cfg.teacher.max_patches, d), dtype, 3 * budget // 4,
                 self._batch_sharding,
             )
-        # Compaction's batch-wide argsort gather would reshard full frames
-        # across the data axis under dp>1 — costlier than the savings.
-        self._compact = cfg.compact_patches and (
-            self.mesh.shape.get(cfg.mesh.data_axis, 1) == 1
-        )
-        if cfg.compact_patches and not self._compact:
-            print("compact_patches disabled: data-parallel mesh (dp>1)")
-        # Caption packing for the student text tower (ops/packing.py):
-        # packed row counts are bucketed but not dp-even, so single data
-        # shard only.
-        self._packed_text = bool(cfg.packed_text) and (
-            self.mesh.shape.get(cfg.mesh.data_axis, 1) == 1
-        )
-        if cfg.packed_text and not self._packed_text:
-            print("packed_text disabled: data-parallel mesh (dp>1)")
+        # Crop compaction runs PER DATA SHARD under dp-like meshes (each
+        # device argsort-gathers its own batch rows inside one shard_map —
+        # no cross-shard reshuffle; base.budgeted_patch_encode).
+        self._compact = bool(cfg.compact_patches)
+        # Caption packing packs PER DATA SHARD under dp-like meshes
+        # (ops.packing.pack_captions_sharded: every shard gets the same
+        # bucketed row count, so the packed arrays stay dp-even).
+        self._packed_text = bool(cfg.packed_text)
         self._init_knn_gate(knn_store, projection_params, cfg.teacher.embed_dim)
         if teacher_cache is not None and not teacher_cache.salt:
             teacher_cache.salt = self._teacher_fingerprint()
@@ -556,12 +606,10 @@ class DistillTrainer(BaseTrainer):
 
     def _teacher_tail(self, teacher_clip_variables, teacher_params, pe, batch):
         """Text encode + cross-attention + aggregation, given patch embeds."""
-        te, tmask = encode_tokens(
-            self.teacher_clip,
+        te, tmask = self._encode_tokens(
             teacher_clip_variables,
             batch["input_ids"],
             batch["attention_mask"],
-            self.teacher_clip_config.text.eos_token_id,
         )
         if self._fused_cross_attention is not None:
             from dclip_tpu.models.teacher import aggregate_attended
@@ -603,6 +651,9 @@ class DistillTrainer(BaseTrainer):
             self._patch_encode_compact_steps,
             compact=self._compact,
             image_features_fn=self._frozen_image_features,
+            image_features_base_fn=self._frozen_image_features_base,
+            mesh=self.mesh if self._dp_like else None,
+            data_axis=self.cfg.mesh.data_axis,
         )
         pe = self._maybe_knn_gate(
             pe, device_batch, self.cfg.teacher.similarity_threshold
@@ -616,27 +667,21 @@ class DistillTrainer(BaseTrainer):
         return jax.device_put(pe, self._batch_sharding)
 
     def _student_loss(self, params, teacher_img, teacher_txt, batch):
-        student_img = self.student.apply(
-            {"params": params},
-            batch["pixel_values"],
-            method=self.student.get_image_features,
-        )
+        student_img = self._student_image(params, batch["pixel_values"])
         if "packed_ids" in batch:
             # Caption-packed text encode: R << B dense rows, EOS-gathered
             # back to original order (ops/packing.py; parity-pinned).
-            student_txt = self.student.apply(
-                {"params": params},
+            # Under dp-like meshes the rows are packed per data shard and
+            # the EOS gather runs inside shard_map with shard-local rows.
+            student_txt = self._student_packed_text(
+                params,
                 batch["packed_ids"], batch["packed_segments"],
                 batch["packed_positions"],
                 batch["packed_eos_rows"], batch["packed_eos_cols"],
-                method=self.student.get_packed_text_features,
             )
         else:
-            student_txt = self.student.apply(
-                {"params": params},
-                batch["input_ids"],
-                batch["attention_mask"],
-                method=self.student.get_text_features,
+            student_txt = self._student_text(
+                params, batch["input_ids"], batch["attention_mask"]
             )
         if (
             self.cfg.use_pallas
@@ -649,7 +694,10 @@ class DistillTrainer(BaseTrainer):
             # the embeddings arrive TP-sharded and the kernel would force
             # a gather + fully replicated fwd/bwd, so the gate requires
             # the whole mesh trivial, not just the data axis.
+            # dp_equivalent (bench mode) forces the XLA path too — it IS
+            # what a dp mesh runs.
             and self.mesh.devices.size == 1
+            and not self._dp_equivalent
             and student_img.shape[0] <= 1024  # fused-kernel VMEM bound
         ):
             from dclip_tpu.kernels import fused_distillation_loss
@@ -796,7 +844,15 @@ class DistillTrainer(BaseTrainer):
         when ids are device-resident — packing is a host computation, and
         pulling ids D2H would cost more than packing saves). The packed
         row count is bucketed (ops.packing.packed_rows_bucket) so at most
-        a handful of student-step shapes ever compile."""
+        a handful of student-step shapes ever compile.
+
+        Under dp-like meshes captions pack PER DATA SHARD (every shard the
+        same bucketed row count, so the global arrays shard evenly); eos
+        rows stay shard-local when the packed forward gathers inside
+        shard_map, else they are globalized for the XLA gather. Under
+        multihost every process packs its own local rows and the row
+        bucket is agreed via an allgathered max (the assembled global
+        arrays must have one shape on every process)."""
         import numpy as np
 
         if not self._packed_text:
@@ -805,11 +861,37 @@ class DistillTrainer(BaseTrainer):
         am = d.get("attention_mask")
         if not (isinstance(ids, np.ndarray) and isinstance(am, np.ndarray)):
             return student_batch
-        from dclip_tpu.ops.packing import pack_captions
-
-        packed = pack_captions(
-            ids, am, self.student_config.text.eos_token_id
+        from dclip_tpu.ops.packing import (
+            globalize_eos_rows,
+            min_rows_sharded,
+            pack_captions_sharded,
+            packed_rows_bucket,
         )
+
+        eos = self.student_config.text.eos_token_id
+        dp = self.mesh.shape.get(self.cfg.mesh.data_axis, 1)
+        nproc = jax.process_count()
+        local_shards = max(dp // nproc, 1)
+        rows_forced = 0
+        if nproc > 1:
+            from jax.experimental import multihost_utils
+
+            mine = min_rows_sharded(ids, am, eos, local_shards)
+            rows_all = multihost_utils.process_allgather(
+                jnp.asarray(mine, jnp.int32)
+            )
+            rows_forced = packed_rows_bucket(
+                int(np.max(np.asarray(rows_all))), ids.shape[0] // local_shards
+            )
+        packed = pack_captions_sharded(
+            ids, am, eos, n_shards=local_shards, rows_per_shard=rows_forced
+        )
+        if not self._packed_wrapped:
+            packed = globalize_eos_rows(
+                packed, local_shards,
+                first_shard=jax.process_index() * local_shards,
+            )
+        packed.pop("rows_per_shard")
         out = {
             k: v for k, v in student_batch.items()
             if k not in ("input_ids", "attention_mask")

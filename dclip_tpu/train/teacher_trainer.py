@@ -80,14 +80,17 @@ class TeacherTrainer(BaseTrainer):
         )
         # In-module / differentiated Pallas (fused text attention, the
         # trainable cross-attention pair) has no GSPMD partitioning rule —
-        # on a multi-device mesh the partitioner would replicate the full
-        # global batch per device — so those demote to their XLA twins
-        # off single-device meshes (same rule as DistillTrainer).
-        self._module_pallas = bool(cfg.use_pallas) and self.mesh.devices.size == 1
+        # but both are batch-parallel and shard_map composes with autodiff,
+        # so under dp-only meshes they run through shard_map over the data
+        # axis (same rule as DistillTrainer). Only mp>1 demotes to the XLA
+        # twins (CLIP weights are TP-sharded there).
+        dp_size = self.mesh.shape.get(cfg.mesh.data_axis, 1)
+        mp_size = self.mesh.shape.get(cfg.mesh.model_axis, 1)
+        self._module_pallas = bool(cfg.use_pallas) and mp_size == 1
+        self._dp_like = dp_size > 1
         if cfg.use_pallas and not self._module_pallas:
             print("in-module Pallas kernels demoted to XLA twins: "
-                  "multi-device mesh (frozen region encode stays fused "
-                  "via shard_map)")
+                  "tensor-parallel mesh (mp>1; weights are TP-sharded)")
         self.clip = CLIPModule(
             self.clip_config, dtype=dtype,
             fused_attention=self._module_pallas,
@@ -100,7 +103,8 @@ class TeacherTrainer(BaseTrainer):
         # under dp>1 it runs through shard_map over the data axis; mp>1
         # demotes to the module path (CLIP weights are TP-sharded there).
         self._frozen_image_features = None
-        if cfg.use_pallas and self.mesh.shape.get(cfg.mesh.model_axis, 1) == 1:
+        self._frozen_image_features_base = None
+        if cfg.use_pallas and mp_size == 1:
             from dclip_tpu.kernels.vit_block import fused_image_features
 
             _ccfg = self.clip_config
@@ -108,11 +112,41 @@ class TeacherTrainer(BaseTrainer):
             base = lambda v, px: fused_image_features(  # noqa: E731
                 _ccfg, v, px, dtype=dtype, interpret=_interp
             )
-            if self.mesh.shape.get(cfg.mesh.data_axis, 1) > 1:
+            self._frozen_image_features_base = base
+            if self._dp_like:
                 from dclip_tpu.parallel.mesh import shard_map_batchwise
 
                 base = shard_map_batchwise(base, self.mesh, cfg.mesh.data_axis)
             self._frozen_image_features = base
+
+        # Differentiated/in-module applies, shard_map-wrapped under
+        # dp-only meshes (batch-parallel; weight cotangents psum over the
+        # axis in the transpose — parity in tests/test_mesh_true_paths.py).
+        self._encode_tokens = lambda v, ids, am: encode_tokens(
+            self.clip, v, ids, am, self.clip_config.text.eos_token_id
+        )
+        self._xattn_trainable = None
+        if self._module_pallas:
+            from dclip_tpu.kernels import cross_attention_trainable
+
+            _nh = cfg.teacher.num_heads
+            _interp_x = self._pallas_interpret
+            self._xattn_trainable = (
+                lambda p, te, pe, tm, pm: cross_attention_trainable(
+                    p, te, pe, tm, pm, num_heads=_nh, interpret=_interp_x
+                )
+            )
+            if self._dp_like:
+                from dclip_tpu.parallel.mesh import shard_map_batchwise
+
+                self._encode_tokens = shard_map_batchwise(
+                    self._encode_tokens, self.mesh, cfg.mesh.data_axis,
+                    n_args=2,
+                )
+                self._xattn_trainable = shard_map_batchwise(
+                    self._xattn_trainable, self.mesh, cfg.mesh.data_axis,
+                    n_args=4,
+                )
 
         if teacher_params is None:
             d = cfg.teacher.embed_dim
@@ -141,13 +175,10 @@ class TeacherTrainer(BaseTrainer):
         self._eval_loss = jax.jit(self._loss)
         self._batch_sharding = batch_sharding(self.mesh, cfg.mesh.data_axis)
         self._patch_jits: Dict[int, Any] = {}
-        # Compaction's batch-wide argsort gather would reshard full frames
-        # across the data axis under dp>1 — costlier than the savings.
-        self._compact = cfg.compact_patches and (
-            self.mesh.shape.get(cfg.mesh.data_axis, 1) == 1
-        )
-        if cfg.compact_patches and not self._compact:
-            print("compact_patches disabled: data-parallel mesh (dp>1)")
+        # Crop compaction runs PER DATA SHARD under dp>1 (each device
+        # argsort-gathers its own rows inside one shard_map — see
+        # base.budgeted_patch_encode).
+        self._compact = bool(cfg.compact_patches)
         self._init_knn_gate(knn_store, projection_params, cfg.teacher.embed_dim)
         self.pe_cache = pe_cache
         if pe_cache is not None and not pe_cache.salt:
@@ -200,26 +231,19 @@ class TeacherTrainer(BaseTrainer):
         """pe (frozen patch embeddings) is computed OUTSIDE this grad jit:
         no gradient flows into the region encode (only cross-attention
         params train), so it can be compacted/cached independently."""
-        te, tmask = encode_tokens(
-            self.clip,
-            clip_variables,
-            batch["input_ids"],
-            batch["attention_mask"],
-            self.clip_config.text.eos_token_id,
+        te, tmask = self._encode_tokens(
+            clip_variables, batch["input_ids"], batch["attention_mask"]
         )
         if self._module_pallas:
-            from dclip_tpu.kernels import cross_attention_trainable
             from dclip_tpu.models.teacher import aggregate_attended
 
             use_masks = self.cfg.teacher.mask_padding
-            at, ai = cross_attention_trainable(
+            at, ai = self._xattn_trainable(
                 params["cross_modal_attention"],
                 te,
                 pe,
                 tmask if use_masks else None,
                 batch["box_mask"] if use_masks else None,
-                num_heads=self.cfg.teacher.num_heads,
-                interpret=self._pallas_interpret,
             )
             out = aggregate_attended(
                 self.cfg.teacher, at, ai, tmask, batch["box_mask"]
@@ -270,6 +294,9 @@ class TeacherTrainer(BaseTrainer):
             batch, device_batch, self._patch_jits,
             compact=self._compact,
             image_features_fn=self._frozen_image_features,
+            image_features_base_fn=self._frozen_image_features_base,
+            mesh=self.mesh if self._dp_like else None,
+            data_axis=self.cfg.mesh.data_axis,
         )
         pe = self._maybe_knn_gate(
             pe, device_batch, self.cfg.teacher.similarity_threshold

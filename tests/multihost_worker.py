@@ -26,6 +26,12 @@ def main() -> int:
                          "writes this process's rows (multihost.local_rows), "
                          "step 1 hits and reassembles via put_sharded")
     ap.add_argument("--mesh_model", type=int, default=1)
+    ap.add_argument("--use_pallas", action="store_true",
+                    help="force the Pallas kernels (interpret on CPU): the "
+                         "shard_mapped fused paths under process_count > 1")
+    ap.add_argument("--packed_text", action="store_true",
+                    help="per-shard caption packing; the row bucket is "
+                         "agreed across processes via allgather")
     args = ap.parse_args()
 
     import jax
@@ -112,6 +118,8 @@ def main() -> int:
         teacher=teacher_cfg,
         student_model="tiny",
         teacher_clip_model="tiny",
+        use_pallas=True if args.use_pallas else None,
+        packed_text=True if args.packed_text else None,
     )
     from dclip_tpu.train.distill_trainer import TeacherTargetCache
 

@@ -165,8 +165,13 @@ def _run_pair(corpus, extra_args):
         # Data x model mesh: batch rows replicated across the model axis;
         # local_rows/put_sharded must dedupe/assemble correctly.
         (["--mesh_model", "2"], 1, False, 2),
+        # Fast paths x multihost: shard_mapped Pallas kernels (interpret)
+        # + per-shard caption packing, with the packed row bucket agreed
+        # across processes via allgather — must still bit-match the
+        # single-process run with the same flags.
+        (["--use_pallas", "--packed_text"], 1, False, 1),
     ],
-    ids=["plain", "cache-hit", "dp-x-mp"],
+    ids=["plain", "cache-hit", "dp-x-mp", "pallas-packed"],
 )
 def test_two_process_distill_step_matches_single_process(
     tmp_path, extra_args, steps, use_cache, mesh_model
@@ -224,6 +229,8 @@ def test_two_process_distill_step_matches_single_process(
         train_batch_size=8, learning_rate=1e-3, warmup_steps=1,
         accumulate_grad_batches=1, teacher=teacher_cfg,
         student_model="tiny", teacher_clip_model="tiny",
+        use_pallas=True if "--use_pallas" in extra_args else None,
+        packed_text=True if "--packed_text" in extra_args else None,
     )
     from dclip_tpu.train.distill_trainer import TeacherTargetCache
 

@@ -159,6 +159,96 @@ def test_packed_text_features_parity_and_grads():
     assert checked >= 10  # embeddings, per-layer weights, projection
 
 
+def test_pack_captions_sharded_layout_and_local_rows():
+    """Per-shard packing: each contiguous row block packs independently
+    into the SAME row count; eos rows are shard-LOCAL; globalize_eos_rows
+    recovers indices into the concatenated arrays; n_shards=1 degenerates
+    to pack_captions exactly."""
+    from dclip_tpu.ops.packing import (
+        globalize_eos_rows,
+        pack_captions_sharded,
+    )
+
+    cfg = CLIPConfig.tiny_test()
+    ids, mask = _caption_batch(cfg, b=8, seed=5)
+    eos = cfg.text.eos_token_id
+    p = pack_captions_sharded(ids, mask, eos, n_shards=4)
+    r_total = p["packed_ids"].shape[0]
+    rows = int(p["rows_per_shard"])
+    assert r_total == 4 * rows
+    b_shard = 2
+    g = globalize_eos_rows(p, 4)
+    for b in range(len(ids)):
+        shard = b // b_shard
+        # Local rows index within the shard's block.
+        assert 0 <= p["packed_eos_rows"][b] < rows
+        grow, col = g["packed_eos_rows"][b], p["packed_eos_cols"][b]
+        assert grow // rows == shard
+        assert p["packed_ids"][grow, col] == eos
+        # Full caption content lives in the shard's block, contiguous.
+        n = mask[b].sum()
+        seg = p["packed_segments"][grow, col]
+        cols = np.where(p["packed_segments"][grow] == seg)[0]
+        assert len(cols) == n
+        np.testing.assert_array_equal(p["packed_ids"][grow, cols], ids[b, :n])
+
+    # n_shards=1 == pack_captions.
+    p1 = pack_captions_sharded(ids, mask, eos, n_shards=1)
+    ref = pack_captions(ids, mask, eos)
+    for k in ref:
+        np.testing.assert_array_equal(p1[k], ref[k])
+
+    # Forced rows: multihost processes agree on one R.
+    pf = pack_captions_sharded(ids, mask, eos, n_shards=2, rows_per_shard=4)
+    assert pf["packed_ids"].shape[0] == 8
+    # Forcing fewer rows than a shard needs raises (silent truncation would
+    # drop captions).
+    full_ids = np.full((4, ids.shape[1]), 7, np.int32)
+    full_ids[:, -1] = eos
+    full_mask = np.ones_like(full_ids)
+    with pytest.raises(ValueError, match="forced rows_per_shard"):
+        pack_captions_sharded(
+            full_ids, full_mask, eos, n_shards=2, rows_per_shard=1
+        )
+    with pytest.raises(ValueError, match="not divisible"):
+        pack_captions_sharded(ids, mask, eos, n_shards=3)
+
+
+def test_pack_captions_sharded_parity_with_unpacked():
+    """Packed-sharded features (globalized rows, plain gather) equal the
+    unpacked per-caption encoding — per-shard packing preserves semantics."""
+    from dclip_tpu.ops.packing import (
+        globalize_eos_rows,
+        pack_captions_sharded,
+    )
+
+    cfg = CLIPConfig.tiny_test()
+    model = CLIPModule(cfg)
+    ids, mask = _caption_batch(cfg, b=8, seed=6)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(ids),
+        jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
+    )
+    p = globalize_eos_rows(
+        pack_captions_sharded(ids, mask, cfg.text.eos_token_id, n_shards=4), 4
+    )
+    unpacked = model.apply(
+        variables, jnp.asarray(ids), jnp.asarray(mask),
+        method=model.get_text_features,
+    )
+    packed = model.apply(
+        variables,
+        jnp.asarray(p["packed_ids"]), jnp.asarray(p["packed_segments"]),
+        jnp.asarray(p["packed_positions"]),
+        jnp.asarray(p["packed_eos_rows"]), jnp.asarray(p["packed_eos_cols"]),
+        method=model.get_packed_text_features,
+    )
+    np.testing.assert_allclose(
+        np.asarray(packed), np.asarray(unpacked), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_pack_captions_full_length_degenerates_gracefully():
     """All-77-token captions cannot pack: R == B and output equals the
     unpacked encoding (1 caption per row, segment 1 everywhere valid)."""

@@ -161,8 +161,9 @@ def test_sharded_eval_end_to_end(cpu_devices, tmp_path):
 def test_packed_caption_embed_parity(cpu_devices):
     """embed_captions(packed=True) must reproduce the unpacked embeddings
     bit-close and in the same caption order — through the tail-padded
-    chunk path (captions not a batch multiple). Under a mesh the flag
-    self-disables (packed row counts are not dp-even)."""
+    chunk path (captions not a batch multiple). Under a mesh (since round
+    5) captions pack PER DATA SHARD with globalized eos rows and stay
+    packed — same numerics."""
     import jax
 
     from dclip_tpu.core.config import CLIPConfig, MeshConfig

@@ -111,6 +111,36 @@ def test_multislice_mesh_falls_back_without_slices(cpu_devices):
     assert dict(m.shape) == {"data": 4, "model": 2}
 
 
+def test_multislice_injected_slice_fn(cpu_devices):
+    """The slice_index_fn seam (driver dryrun surface 5): the manual
+    hybrid grid matches mesh_utils' layout — TP pairs inside a slice,
+    slices as contiguous outer data blocks — and ragged slices raise."""
+    from dclip_tpu.parallel import make_multislice_mesh
+
+    pos = {id(d): i for i, d in enumerate(cpu_devices)}
+    fn = lambda d: pos[id(d)] // 4  # noqa: E731
+    mesh = make_multislice_mesh(
+        MeshConfig(model_parallel=2), devices=cpu_devices, slice_index_fn=fn
+    )
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    grid = mesh.devices
+    for row in range(grid.shape[0]):
+        assert len({fn(d) for d in grid[row]}) == 1
+    assert [fn(grid[r, 0]) for r in range(grid.shape[0])] == [0, 0, 1, 1]
+
+    # The misconfig branches fire through the injected fn too.
+    with pytest.raises(ValueError, match="must divide"):
+        make_multislice_mesh(
+            MeshConfig(model_parallel=3), devices=cpu_devices,
+            slice_index_fn=fn,
+        )
+    fn_ragged = lambda d: 0 if pos[id(d)] < 3 else 1  # noqa: E731
+    with pytest.raises(ValueError, match="ragged"):
+        make_multislice_mesh(
+            MeshConfig(), devices=cpu_devices, slice_index_fn=fn_ragged
+        )
+
+
 class _SliceProxy:
     """Forwarding device proxy carrying a fake slice_index (CPU devices are
     C++ objects that reject setattr) so the REAL hybrid-mesh factorization

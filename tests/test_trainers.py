@@ -1277,10 +1277,12 @@ def test_distill_device_cache_dp_mesh_matches_host_path(distill_setup,
 
 def test_distill_fused_paths_dp_mesh(distill_setup, cpu_devices, capsys):
     """Mesh-true fast paths under dp=4 + use_pallas (interpret on CPU):
-    the frozen region encode and teacher-tail cross-attention stay fused
-    (shard_map over the data axis), the in-module differentiated kernels
-    demote to XLA twins, and one train step matches the dp=1 Pallas
-    trainer's loss (data-parallel invariance of the global step)."""
+    since round 5 the in-module differentiated kernels stay ENGAGED on
+    dp-only meshes (shard_map over the data axis — no demotion print), the
+    frozen region encode and teacher-tail cross-attention stay fused, and
+    one train step matches the dp=1 Pallas trainer's loss (data-parallel
+    invariance of the global step). Deep grad/loss parity lives in
+    tests/test_mesh_true_paths.py."""
     import dataclasses
 
     clip_cfg, clip_vars, tparams, cfg = distill_setup
@@ -1297,12 +1299,12 @@ def test_distill_fused_paths_dp_mesh(distill_setup, cpu_devices, capsys):
         cfg4, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=mesh4
     )
     out = capsys.readouterr().out
-    assert "demoted to XLA twins" in out
-    # Frozen fast paths engaged (shard_map-wrapped), module kernels off.
+    assert "demoted" not in out  # dp-only meshes never demote anymore
+    # Frozen fast paths AND the in-module kernels engaged (shard_map).
     assert t4._frozen_image_features is not None
     assert t4._fused_cross_attention is not None
-    assert not t4._module_pallas
-    assert not t4.student.fused_attention
+    assert t4._module_pallas
+    assert t4.student.fused_attention
     t1 = DistillTrainer(
         cfg1, clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=mesh1
     )
@@ -1312,9 +1314,9 @@ def test_distill_fused_paths_dp_mesh(distill_setup, cpu_devices, capsys):
     m4 = t4.train_step_on_batch(batch)
     m1 = t1.train_step_on_batch(batch)
     assert np.isfinite(float(m4["loss"]))
-    # dp=4 runs XLA attention + XLA loss vs dp=1's fused kernels: the
-    # paths are parity-pinned elsewhere, so losses agree to kernel
-    # tolerance, not bitwise.
+    # dp=4 runs the same fused kernels but the XLA (all-gather) loss vs
+    # dp=1's fused loss kernel: parity-pinned elsewhere, so losses agree
+    # to kernel tolerance, not bitwise.
     np.testing.assert_allclose(float(m4["loss"]), float(m1["loss"]),
                                rtol=2e-4)
 
@@ -1399,9 +1401,11 @@ def test_distill_packed_text_step_parity(distill_setup, cpu_devices):
     np.testing.assert_allclose(float(m["loss"]), float(l_plain), rtol=1e-5)
 
 
-def test_distill_packed_text_dp_gate(distill_setup, cpu_mesh, capsys):
-    """On a dp>1 mesh packed_text self-disables (packed row counts are not
-    dp-even) with a console note, and the step still runs unpacked."""
+def test_distill_packed_text_dp_mesh_enabled(distill_setup, cpu_mesh):
+    """Since round 5 packed_text stays ENABLED on dp>1 meshes: captions
+    pack per data shard (ops.packing.pack_captions_sharded) and the step
+    runs packed. Numeric parity with the unpacked dp step is pinned in
+    tests/test_mesh_true_paths.py."""
     import dataclasses
 
     clip_cfg, clip_vars, tparams, cfg = distill_setup
@@ -1409,7 +1413,6 @@ def test_distill_packed_text_dp_gate(distill_setup, cpu_mesh, capsys):
         dataclasses.replace(cfg, packed_text=True),
         clip_vars, clip_vars, tparams, clip_cfg, clip_cfg, mesh=cpu_mesh,
     )
-    assert trainer._packed_text is False
-    assert "packed_text disabled" in capsys.readouterr().out
+    assert trainer._packed_text is True
     m = trainer.train_step_on_batch(_variable_length_batch(clip_cfg))
     assert np.isfinite(float(m["loss"]))
