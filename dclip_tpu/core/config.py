@@ -311,6 +311,20 @@ class DistillConfig:
     # single-data-shard — packed row counts are not dp-even — and to
     # host-resident ids), off elsewhere.
     packed_text: Optional[bool] = None
+    # Route the student VISION tower's attention blocks through the fully
+    # fused trainable kernel (LN1+QKV+attention+out_proj+residual in one
+    # Pallas forward emitting the backward's saved tensors; the backward
+    # reuses the stats-reusing attention kernel + XLA weight-grad GEMMs —
+    # kernels/attn_block_trainable.py). Real cotangents for all weights,
+    # valid under any unfreeze stage. Default OFF: MEASURED SLOWER on v5e
+    # at the bench shape (cache-warm 1413 vs 1493 img/s; a full-recompute
+    # backward variant measured 1416) — the per-program projection GEMMs
+    # ([S=197, D] rows per grid step) under-fill the MXU that XLA's one
+    # [B*S, D] x [D, D] GEMM saturates, the same effect measured for
+    # fused_text_mlp. The trainable per-op path is MXU-bound, not
+    # bandwidth-bound; see bench.py's ceiling notes. Opt-in for shapes
+    # where that balance flips.
+    fused_attn_block: Optional[bool] = None
     # Allow the TILED (weight-streaming) frozen-MLP pair where weights
     # overflow VMEM residency (ViT-L/14). Default OFF: measured slower
     # than XLA there on v5e (fwd+bwd 2.84 vs 1.85 ms at B=32) — XLA's
@@ -390,6 +404,8 @@ def resolve_fast_paths(cfg, platform: str):
         updates["compact_patches"] = on_tpu
     if getattr(cfg, "packed_text", False) is None:
         updates["packed_text"] = on_tpu
+    if getattr(cfg, "fused_attn_block", False) is None:
+        updates["fused_attn_block"] = False  # measured slower; see field doc
     return dataclasses.replace(cfg, **updates) if updates else cfg
 
 

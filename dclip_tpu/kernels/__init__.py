@@ -3,6 +3,10 @@
 Each kernel has an XLA reference twin in `dclip_tpu.ops` / `dclip_tpu.models`
 and is parity-tested against it (interpret mode on CPU, compiled on TPU).
 """
+from dclip_tpu.kernels.attn_block_trainable import (
+    attention_block_trainable,
+    attn_block_fit,
+)
 from dclip_tpu.kernels.cross_attention import (
     cross_attention_fused,
     cross_attention_trainable,
@@ -148,6 +152,8 @@ from dclip_tpu.kernels.distill_loss import (
 
 __all__ = [
     "attention_block_fused",
+    "attention_block_trainable",
+    "attn_block_fit",
     "cross_attention_fused",
     "cross_attention_trainable",
     "encoder_forward_fused",

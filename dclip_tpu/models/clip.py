@@ -153,6 +153,23 @@ class _MLPParams(nn.Module):
         return w1, b1, w2, b2
 
 
+class _AttnParams(nn.Module):
+    """Declares the Attention submodule's params (same names/shapes as
+    `Attention`'s q/k/v/out Dense layers) without running the math —
+    feeds the fused trainable attention-block kernel."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            _DenseParams(self.dim, self.dim, name="q_proj")(),
+            _DenseParams(self.dim, self.dim, name="k_proj")(),
+            _DenseParams(self.dim, self.dim, name="v_proj")(),
+            _DenseParams(self.dim, self.dim, name="out_proj")(),
+        )
+
+
 class EncoderLayer(nn.Module):
     hidden: int
     heads: int
@@ -171,14 +188,41 @@ class EncoderLayer(nn.Module):
     # (kernels/mlp_trainable.py): real cotangents for all six weights,
     # valid under any optimizer mask. Param tree is unchanged.
     fused_trainable_mlp: bool = False
+    # Route LN1+QKV+attention+out_proj+residual through the fully fused
+    # TRAINABLE block kernel (kernels/attn_block_trainable.py): real
+    # cotangents for all ten weights, valid under any mask. Maskless only
+    # (the vision tower); falls back to the per-op path when the call
+    # carries causal/padding/packed masks. Param tree is unchanged.
+    fused_trainable_attn_block: bool = False
 
     @nn.compact
     def __call__(self, x, padding_mask=None, attn_bias=None):
-        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm1")(x)
-        x = x + Attention(
-            self.hidden, self.heads, self.dtype, self.fused, self.interpret,
-            self.causal, name="self_attn",
-        )(h, padding_mask, attn_bias)
+        if (
+            self.fused_trainable_attn_block
+            and not self.causal
+            and padding_mask is None
+            and attn_bias is None
+        ):
+            from dclip_tpu.kernels.attn_block_trainable import (
+                attention_block_trainable,
+            )
+
+            ln_s, ln_b = _LNParams(self.hidden, name="layer_norm1")()
+            (wq, bq), (wk, bk), (wv, bv), (wo, bo) = _AttnParams(
+                self.hidden, name="self_attn"
+            )()
+            x = attention_block_trainable(
+                x, ln_s, ln_b, wq, bq, wk, bk, wv, bv, wo, bo,
+                num_heads=self.heads, eps=self.eps, interpret=self.interpret,
+            )
+        else:
+            h = nn.LayerNorm(
+                epsilon=self.eps, dtype=self.dtype, name="layer_norm1"
+            )(x)
+            x = x + Attention(
+                self.hidden, self.heads, self.dtype, self.fused,
+                self.interpret, self.causal, name="self_attn",
+            )(h, padding_mask, attn_bias)
         if self.fused_frozen_mlp or self.fused_trainable_mlp:
             if self.fused_trainable_mlp:
                 from dclip_tpu.kernels.mlp_trainable import (
@@ -213,6 +257,7 @@ class Encoder(nn.Module):
     causal: bool = False
     fused_frozen_mlp: bool = False
     fused_trainable_mlp: bool = False
+    fused_trainable_attn_block: bool = False
 
     @nn.compact
     def __call__(self, x, padding_mask=None, attn_bias=None):
@@ -231,6 +276,7 @@ class Encoder(nn.Module):
                 self.causal,
                 self.fused_frozen_mlp,
                 self.fused_trainable_mlp,
+                self.fused_trainable_attn_block,
                 name=f"layers_{i}",
             )(x, padding_mask, attn_bias)
         return x
@@ -325,6 +371,7 @@ class CLIPVisionEncoder(nn.Module):
     fused_attention: bool = False
     pallas_interpret: bool = False
     fused_frozen_mlp: bool = False
+    fused_trainable_attn_block: bool = False
 
     @nn.compact
     def __call__(self, pixel_values):
@@ -364,6 +411,7 @@ class CLIPVisionEncoder(nn.Module):
             self.fused_attention,
             self.pallas_interpret,
             fused_frozen_mlp=self.fused_frozen_mlp,
+            fused_trainable_attn_block=self.fused_trainable_attn_block,
             name="encoder",
         )(x)
         pooled = x[:, 0]
@@ -394,6 +442,11 @@ class CLIPModule(nn.Module):
     # Fused TRAINABLE MLP blocks in the TEXT encoder (real weight
     # cotangents; kernels/mlp_trainable.py) — valid under any mask.
     fused_trainable_text_mlp: bool = False
+    # Fully fused TRAINABLE attention block in the VISION encoder
+    # (LN1+QKV+attention+out_proj+residual, real weight cotangents;
+    # kernels/attn_block_trainable.py). The text path keeps the fused
+    # per-op attention — its causal/padding masks live there.
+    fused_trainable_attn_block: bool = False
 
     def setup(self):
         self.text_model = CLIPTextEncoder(
@@ -405,6 +458,7 @@ class CLIPModule(nn.Module):
             self.cfg.vision, self.dtype, self.remat,
             self.fused_attention, self.pallas_interpret,
             fused_frozen_mlp=self.fused_frozen_mlp,
+            fused_trainable_attn_block=self.fused_trainable_attn_block,
         )
         self.text_projection = nn.Dense(
             self.cfg.projection_dim, use_bias=False, dtype=self.dtype

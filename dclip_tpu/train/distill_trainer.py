@@ -474,7 +474,9 @@ class DistillTrainer(BaseTrainer):
         XLA measured faster there (see mlp_frozen_fit)."""
         fused_frozen = False
         fused_text = False
+        fused_attn_block = False
         if self._module_pallas:
+            from dclip_tpu.kernels.attn_block_trainable import attn_block_fit
             from dclip_tpu.kernels.mlp_frozen import mlp_frozen_fit
             from dclip_tpu.kernels.mlp_trainable import mlp_trainable_fit
 
@@ -497,6 +499,11 @@ class DistillTrainer(BaseTrainer):
             fused_text = self.cfg.fused_text_mlp and mlp_trainable_fit(
                 t.max_length, t.hidden_size, t.mlp_dim, itemsize
             )
+            # The fully fused trainable attention block (vision tower):
+            # real weight cotangents, so no mask condition — only VMEM fit.
+            fused_attn_block = self.cfg.fused_attn_block and attn_block_fit(
+                v.num_patches + 1, v.hidden_size, v.num_heads, itemsize
+            )
         return CLIPModule(
             self.student_config,
             dtype=self._student_dtype,
@@ -505,6 +512,7 @@ class DistillTrainer(BaseTrainer):
             pallas_interpret=self._pallas_interpret,
             fused_frozen_mlp=fused_frozen,
             fused_trainable_text_mlp=fused_text,
+            fused_trainable_attn_block=fused_attn_block,
         )
 
     def _teacher_fingerprint(self) -> str:

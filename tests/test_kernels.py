@@ -682,3 +682,153 @@ def test_clip_fused_trainable_text_mlp_module_parity():
             np.asarray(wf), np.asarray(wb), rtol=2e-3, atol=2e-4,
             err_msg="/".join(path),
         )
+
+
+# -- fully fused trainable attention block (kernels/attn_block_trainable) ----
+
+
+@pytest.fixture(scope="module")
+def attn_block_args():
+    rng = np.random.RandomState(7)
+    b, s, d, heads = 3, 13, 32, 4
+    x = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    mk = lambda *shape: jnp.asarray(  # noqa: E731
+        (rng.randn(*shape) / np.sqrt(shape[0])).astype(np.float32)
+    )
+    weights = dict(
+        ln_scale=jnp.asarray(1.0 + 0.1 * rng.randn(d).astype(np.float32)),
+        ln_bias=jnp.asarray(0.1 * rng.randn(d).astype(np.float32)),
+        wq=mk(d, d), bq=mk(d), wk=mk(d, d), bk=mk(d), wv=mk(d, d), bv=mk(d),
+        wo=mk(d, d), bo=mk(d),
+    )
+    return x, weights, heads
+
+
+def _attn_block_xla_ref(x, w, heads, eps=1e-5):
+    """Plain-JAX reference: x + out_proj(MHA(LN1(x)))."""
+    from dclip_tpu.kernels.vit_attention import _xla_attention
+
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    h = (xf - mean) * jax.lax.rsqrt(var + eps) * w["ln_scale"] + w["ln_bias"]
+    q = h @ w["wq"] + w["bq"]
+    k = h @ w["wk"] + w["bk"]
+    v = h @ w["wv"] + w["bv"]
+    out = _xla_attention(q, k, v, heads)
+    return xf + out @ w["wo"] + w["bo"]
+
+
+def test_attn_block_trainable_forward_parity(attn_block_args):
+    from dclip_tpu.kernels import attention_block_trainable
+
+    x, w, heads = attn_block_args
+    got = attention_block_trainable(
+        x, w["ln_scale"], w["ln_bias"], w["wq"], w["bq"], w["wk"], w["bk"],
+        w["wv"], w["bv"], w["wo"], w["bo"], num_heads=heads, interpret=True,
+    )
+    want = _attn_block_xla_ref(x, w, heads)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_attn_block_trainable_grad_parity(attn_block_args):
+    """REAL cotangents for x and all ten weights: the custom VJP (Pallas
+    recompute backward + XLA weight-grad GEMMs) matches jax.grad through
+    the plain-JAX block for every input."""
+    from dclip_tpu.kernels import attention_block_trainable
+
+    x, w, heads = attn_block_args
+    target = jnp.asarray(
+        np.random.RandomState(8).randn(*x.shape).astype(np.float32)
+    )
+    keys = list(w)
+
+    def loss_kernel(x, *ws):
+        wd = dict(zip(keys, ws))
+        o = attention_block_trainable(
+            x, wd["ln_scale"], wd["ln_bias"], wd["wq"], wd["bq"], wd["wk"],
+            wd["bk"], wd["wv"], wd["bv"], wd["wo"], wd["bo"],
+            num_heads=heads, interpret=True,
+        )
+        return jnp.sum((o - target) ** 2)
+
+    def loss_ref(x, *ws):
+        wd = dict(zip(keys, ws))
+        return jnp.sum((_attn_block_xla_ref(x, wd, heads) - target) ** 2)
+
+    args = (x,) + tuple(w[k] for k in keys)
+    gk = jax.grad(loss_kernel, argnums=tuple(range(len(args))))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(len(args))))(*args)
+    for name, a, b in zip(["x"] + keys, gk, gr):
+        assert float(jnp.abs(a).max()) > 0.0, name
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5, err_msg=name
+        )
+
+
+def test_clip_fused_attn_block_module_parity():
+    """CLIPModule(fused_trainable_attn_block=True): identical param tree,
+    image-feature parity, and REAL grads on vision LN1/attention weights
+    matching the unfused module's — while the TEXT tower (causal mask)
+    transparently keeps the per-op path."""
+    from dclip_tpu.core.config import CLIPConfig
+    from dclip_tpu.models.clip import CLIPModule
+
+    cfg = CLIPConfig.tiny_test()
+    base = CLIPModule(cfg)
+    fused = CLIPModule(
+        cfg, fused_trainable_attn_block=True, pallas_interpret=True
+    )
+    rng = np.random.RandomState(9)
+    ids = jnp.asarray(rng.randint(1, cfg.text.vocab_size, (2, cfg.text.max_length)))
+    mask = jnp.ones_like(ids)
+    px = jnp.asarray(
+        rng.randn(2, cfg.vision.image_size, cfg.vision.image_size, 3)
+        .astype(np.float32)
+    )
+    v = base.init(jax.random.PRNGKey(0), ids, px)
+    vf = fused.init(jax.random.PRNGKey(0), ids, px)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vf)
+
+    want = base.apply(v, px, method=base.get_image_features)
+    got = fused.apply(v, px, method=fused.get_image_features)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+    # Text path unchanged (the block kernel has no masks; the module must
+    # route text through the per-op attention).
+    tw = base.apply(v, ids, mask, method=base.get_text_features)
+    tg = fused.apply(v, ids, mask, method=fused.get_text_features)
+    np.testing.assert_allclose(
+        np.asarray(tg), np.asarray(tw), rtol=1e-5, atol=1e-5
+    )
+
+    def loss(params, m):
+        out = m.apply({"params": params}, px, method=m.get_image_features)
+        return jnp.sum(out * out)
+
+    gb = jax.grad(loss)(v["params"], base)
+    gf = jax.grad(loss)(vf["params"], fused)
+    l0b = gb["vision_model"]["encoder"]["layers_0"]
+    l0f = gf["vision_model"]["encoder"]["layers_0"]
+    for path in (("self_attn", "q_proj", "kernel"),
+                 ("self_attn", "out_proj", "bias"),
+                 ("layer_norm1", "scale"), ("layer_norm1", "bias")):
+        wb, wf = l0b, l0f
+        for k in path:
+            wb, wf = wb[k], wf[k]
+        assert float(jnp.abs(wf).max()) > 0.0, path
+        np.testing.assert_allclose(
+            np.asarray(wf), np.asarray(wb), rtol=2e-3, atol=2e-4,
+            err_msg="/".join(path),
+        )
+
+
+def test_attn_block_fit_budget():
+    from dclip_tpu.kernels import attn_block_fit
+
+    # B/16 bf16 (S=197, D=768, H=12) must fit; ViT-L/14 (D=1024) must not.
+    assert attn_block_fit(197, 768, 12, 2)
+    assert not attn_block_fit(257, 1024, 16, 2)
