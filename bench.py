@@ -37,6 +37,45 @@ Extras reported alongside:
   flops_per_image           analytic FLOPs of the uncached step / image
   note                      H2D excluded (one device_put; a real input
                             pipeline overlaps transfers)
+
+Cache-warm true-MFU ceiling (round 5, measured — the per-op speed-of-light
+decomposition, reproducible via `python -m dclip_tpu.cli.profile --per_op`):
+every op of the warm step was timed in isolation on the real chip at the
+exact step shapes (in-jit differenced cycles, B=256) and compared to its
+analytic floor, max(GEMM FLOPs / 197 TF/s, bytes / 819 GB/s):
+
+  op (per vision layer)      measured    floor    x/floor
+  ln fwd+bwd                  0.46 ms    0.47       1.0   HBM-bound, done
+  qkv proj fwd+dx (6 GEMMs)   1.88       1.81       1.04  at the MXU roof
+  out proj fwd+dx             0.61       0.60       1.01  at the MXU roof
+  attn dW (4 GEMMs)           1.17       1.21       0.97  at the MXU roof
+  attn fwd kernel (Pallas)    0.73       0.38       1.9   VPU softmax
+  attn bwd kernel (Pallas)    1.3-1.7    0.76       ~2    VPU softmax
+  ln2+mlp fwd+dx (pair)       5.62       4.83       1.16  near the roof
+  text stack (packed, R=64)  10.7       5.8        1.84  small-shape GEMMs
+  one REAL layer composite   15.5       10.1       1.54  (vs 12.2 parts)
+
+Reading: the XLA GEMMs already run at 97-104% of the bf16 MXU roof —
+there is nothing left to win in them. The remaining distance to 1.0 is
+(a) the attention kernels' [S, S] f32 softmax chains, ALU-bound on the
+VPU (~1.5 ms/layer over their floors; phase-split ordering, log2-domain
+exp2, GEMM-ridden row sums and post-normalization are already applied —
+further [S, S] pass removal measured noise-bound on the tunnel),
+(b) the packed text stack's small-shape GEMMs (~50% MFU at S=77/d=512,
+intrinsic — B=512 OOMs, fused text MLP measured slower, packing already
+removed the padding work), and (c) ~3 ms/layer of composition cost the
+isolated rows don't see (scheduling/residency between ops in the big
+fused graph; the real step recovers part of it by overlapping text with
+vision). Summing floors with the Pallas kernels at their MEASURED cost
+puts the achievable ceiling at ~0.78-0.80 true MFU; the measured step
+sits at 0.65-0.67 with the residual in (c), which no per-op kernel can
+remove — only a full-backward megakernel could, and the fused trainable
+block attempt measured SLOWER (kernels/attn_block_trainable.py docstring:
+per-program [S, D] projection GEMMs under-fill the MXU that XLA's
+batched GEMM saturates). 0.65-0.70 true MFU is therefore the honest
+plateau for this architecture at B/16 shapes on v5e, and the headline
+conventional MFU (0.79-0.83) reflects the same step counted by the
+2x-forward convention.
 """
 from __future__ import annotations
 

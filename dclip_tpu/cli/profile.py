@@ -72,9 +72,24 @@ def main(argv: Optional[list] = None) -> int:
                         "full-step window here (perfetto)")
     p.add_argument("--json", action="store_true", dest="as_json",
                    help="print one JSON line instead of the table")
+    p.add_argument("--per_op", action="store_true",
+                   help="per-op speed-of-light decomposition of the "
+                        "cache-warm student step (cli/profile_ops.py) "
+                        "instead of the phase table")
     args = p.parse_args(argv)
     if args.steps < 1:
         p.error(f"--steps must be >= 1 (got {args.steps})")
+
+    if args.per_op:
+        from dclip_tpu.core.cache import (
+            enable_persistent_compilation_cache as _epc,
+        )
+
+        _epc()
+        from dclip_tpu.cli.profile_ops import run_per_op
+
+        batch = args.batch if args.batch is not None else 256
+        return run_per_op(batch, args.steps, args.as_json)
 
     import jax
     import numpy as np

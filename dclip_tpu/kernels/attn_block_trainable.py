@@ -21,7 +21,14 @@ measurement showed to be MXU-bound, not bandwidth-bound:
     dWq = h^T dq, ... (h recomputed elementwise from x);  dbq = sum dq
     dh = dq Wq^T + dk Wk^T + dv Wv^T;  dx = g + LN1_bwd(dh)   (XLA)
 
-so backward cost is unchanged and the fused forward is pure profit.
+so backward cost is unchanged and only the forward's schedule differs.
+
+MEASURED NET SLOWER at the bench shape, so it ships default-OFF
+(`fused_attn_block` opt-in, core/config.py:320): cache-warm 1413 vs
+1493 img/s on v5e — the per-program [S, D]-row projection GEMMs
+under-fill the MXU that XLA's single [B*S, D] x [D, 3D] GEMM saturates
+(the same effect that keeps fused_text_mlp off, kernels/mlp_trainable).
+The forward's HBM savings are real but smaller than that GEMM loss.
 
 Head phases run in chunks of 4 (kernels/vit_attention measured the
 phase-split order -38% on the backward; chunking bounds live [S,S] tiles
@@ -43,6 +50,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from dclip_tpu.kernels.vit_attention import _LOG2E
 
 
 _HEAD_CHUNK = 4
@@ -85,8 +94,11 @@ def _fwd_kernel(num_heads: int, eps: float, *refs):
     for chunk in _chunks(sls, _HEAD_CHUNK):
         # Phase-split inside the chunk: all QK^T GEMMs issue before the
         # VPU softmaxes, so the MXU drains head h+1 while head h reduces.
+        # Log2-domain softmax, matching the stats contract of
+        # kernels/vit_attention (whose bwd kernel this block's VJP reuses):
+        # m is the max of the log2-domain logits, rinv = 1/sum(exp2(.)).
         logits = [
-            scale * jax.lax.dot_general(
+            (scale * _LOG2E) * jax.lax.dot_general(
                 qb[:, sl], kb[:, sl],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -94,7 +106,7 @@ def _fwd_kernel(num_heads: int, eps: float, *refs):
             for sl in chunk
         ]
         cm = [jnp.max(l, axis=-1, keepdims=True) for l in logits]
-        es = [jnp.exp(l - m) for l, m in zip(logits, cm)]
+        es = [jnp.exp2(l - m) for l, m in zip(logits, cm)]
         cr = [1.0 / jnp.sum(e, axis=-1, keepdims=True) for e in es]
         pbs = [(e * r).astype(cdt) for e, r in zip(es, cr)]
         outs += [

@@ -20,7 +20,12 @@ while head h's softmax runs. Measured on v5e at the student shape
 3.36 -> 2.07 ms (-38%, together with the residual-stats reuse below).
 At these shapes the kernels are VPU-bound on the [S, S] f32 softmax —
 row-block batching, a division-free softmax, and NB>1 grids all measured
-flat or slower, so this ordering is the lever, not tiling.
+flat or slower, so this ordering is the lever, not tiling. On top of the
+ordering, the softmax itself sheds [S, S] VPU passes three ways (see
+_LOG2E and the kernel bodies): log2-domain exponentials (no hidden
+exp->exp2 multiply), row sums ridden on a ones-column of the PV GEMM
+(no [S, S] lane reduction), and normalization applied to the [S, hd]
+output / folded into backward terms instead of an [S, S] divide.
 
 The QKV/output projections stay in XLA: they are plain GEMMs the MXU
 already runs at speed-of-light, and XLA fuses the bias adds.
@@ -51,15 +56,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 _NEG = -1e30
+# Softmax runs in the LOG2 domain: logits are scaled by log2(e) once (a
+# scalar folded into the existing QK^T scale pass), so the exponentials
+# lower to a bare exp2 — exp(x) otherwise costs exp2(x * log2e), an extra
+# [S, S] multiply per head per direction. Stats contract: the saved max
+# `m` is in the log2 domain; `rinv` = 1/sum(exp2(l2 - m)) is the same
+# value either way (exp2(log2e*(L - m_nat)) == exp(L - m_nat)).
+_LOG2E = 1.4426950408889634
 
 
-def _mask_logits(logits, causal: bool, pad_row):
-    """Apply causal / key-padding masks to one [S, S] logits tile."""
+def _mask_logits(logits, causal: bool, pad_row, seg_row=None):
+    """Apply causal / key-padding / segment masks to one [S, S] tile.
+
+    `seg_row` [S] int32 restricts attention to same-segment pairs; with
+    `causal=True` this reproduces ops.packing.packed_attention_bias
+    exactly (same segment AND key <= query; padding attends padding, so
+    no row is fully masked)."""
     s = logits.shape[0]
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        logits = jnp.where(col <= row, logits, _NEG)
+        keep = col <= row
+        if seg_row is not None:
+            keep = keep & (seg_row[None, :] == seg_row[:, None])
+        logits = jnp.where(keep, logits, _NEG)
+    elif seg_row is not None:
+        logits = jnp.where(
+            seg_row[None, :] == seg_row[:, None], logits, _NEG
+        )
     if pad_row is not None:
         logits = jnp.where(pad_row[None, :] > 0, logits, _NEG)
     return logits
@@ -70,7 +94,7 @@ def _head_slices(d: int, num_heads: int):
     return [slice(h * hd, (h + 1) * hd) for h in range(num_heads)]
 
 
-def _qk_logits(q, k, sls, scale, causal, pad_row):
+def _qk_logits(q, k, sls, scale, causal, pad_row, seg_row=None):
     """Phase 1: every head's masked QK^T logits tile ([S, S] f32 each).
 
     Matmul inputs stay in the input dtype (bf16 on TPU — f32 inputs run
@@ -85,28 +109,45 @@ def _qk_logits(q, k, sls, scale, causal, pad_row):
         )
         for sl in sls
     ]
-    if causal or pad_row is not None:
-        logits = [_mask_logits(l, causal, pad_row) for l in logits]
+    if causal or pad_row is not None or seg_row is not None:
+        logits = [_mask_logits(l, causal, pad_row, seg_row) for l in logits]
     return logits
 
 
-def _kernel(num_heads: int, scale: float, causal: bool, use_pad: bool, *refs):
-    if use_pad:
-        q_ref, k_ref, v_ref, pad_ref, o_ref = refs
-        pad_row = pad_ref[pl.program_id(0), :]
-    else:
-        q_ref, k_ref, v_ref, o_ref = refs
-        pad_row = None
+def _mask_rows(use_pad: bool, use_seg: bool, refs):
+    """Pop the optional pad/segment operands off the tail of the q/k/v
+    refs and return (core_refs, pad_row, seg_row) for this program."""
+    refs = list(refs)
+    i = pl.program_id(0)
+    seg_row = refs.pop(3 + use_pad)[i, :] if use_seg else None
+    pad_row = refs.pop(3)[i, :] if use_pad else None
+    return refs, pad_row, seg_row
+
+
+def _kernel(num_heads: int, scale: float, causal: bool, use_pad: bool,
+            use_seg: bool, *refs):
+    (q_ref, k_ref, v_ref, o_ref), pad_row, seg_row = _mask_rows(
+        use_pad, use_seg, refs
+    )
     q = q_ref[0]  # [S, D]
     k = k_ref[0]
     v = v_ref[0]
+    s = q.shape[0]
     sls = _head_slices(q.shape[-1], num_heads)
-    logits = _qk_logits(q, k, sls, scale, causal, pad_row)
-    probs = [jax.nn.softmax(l, axis=-1).astype(v.dtype) for l in logits]
-    outs = [
-        jnp.dot(p, v[:, sl], preferred_element_type=jnp.float32)
-        for p, sl in zip(probs, sls)
+    # log2-domain softmax, normalized AFTER the PV GEMM: the row-sum rides
+    # a ones-column appended to each head's v tile (its lanes are MXU
+    # padding anyway at hd=64), removing the [S, S] sum reduction AND the
+    # [S, S] divide — the normalize shrinks to an [S, hd] multiply.
+    l2s = _qk_logits(q, k, sls, scale * _LOG2E, causal, pad_row, seg_row)
+    ms = [jnp.max(l, axis=-1, keepdims=True) for l in l2s]
+    ebs = [jnp.exp2(l - m).astype(v.dtype) for l, m in zip(l2s, ms)]
+    ones = jnp.ones((s, 1), v.dtype)
+    ves = [jnp.concatenate([v[:, sl], ones], axis=1) for sl in sls]
+    oes = [
+        jnp.dot(eb, ve, preferred_element_type=jnp.float32)
+        for eb, ve in zip(ebs, ves)
     ]
+    outs = [oe[:, :-1] * (1.0 / oe[:, -1:]) for oe in oes]
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
@@ -121,6 +162,19 @@ def _pad_spec(b: int, s: int):
     return pl.BlockSpec((b, s), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
+def _mask_inputs(b, s, padding_mask, segment_ids):
+    """(extra_specs, extra_inputs, use_pad, use_seg) for the two optional
+    [B, S] mask operands (order: padding, then segments)."""
+    specs, inputs = [], []
+    if padding_mask is not None:
+        specs.append(_pad_spec(b, s))
+        inputs.append(padding_mask.astype(jnp.float32))
+    if segment_ids is not None:
+        specs.append(_pad_spec(b, s))
+        inputs.append(segment_ids.astype(jnp.int32))
+    return specs, inputs, padding_mask is not None, segment_ids is not None
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "causal", "interpret")
 )
@@ -131,23 +185,22 @@ def self_attention_fused(
     num_heads: int,
     padding_mask: Optional[jnp.ndarray] = None,  # [B, S], 1 = valid key
     causal: bool = False,
+    segment_ids: Optional[jnp.ndarray] = None,  # [B, S] int (packing)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """softmax(mask(q k^T / sqrt(hd))) v per head, fused per batch row."""
     b, s, d = q.shape
     scale = (d // num_heads) ** -0.5
     spec = _row_specs(b, s, d)
-    in_specs = [spec, spec, spec]
-    inputs = [q, k, v]
-    use_pad = padding_mask is not None
-    if use_pad:
-        in_specs.append(_pad_spec(b, s))
-        inputs.append(padding_mask.astype(jnp.float32))
+    mspecs, minputs, use_pad, use_seg = _mask_inputs(
+        b, s, padding_mask, segment_ids
+    )
     flops = 2 * 2 * s * s * d  # QK^T + PV
     return pl.pallas_call(
-        functools.partial(_kernel, num_heads, scale, causal, use_pad),
+        functools.partial(_kernel, num_heads, scale, causal, use_pad,
+                          use_seg),
         grid=(b,),
-        in_specs=in_specs,
+        in_specs=[spec, spec, spec] + mspecs,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, s, d), q.dtype),
         interpret=interpret,
@@ -156,10 +209,11 @@ def self_attention_fused(
             bytes_accessed=4 * b * s * d * q.dtype.itemsize,
             transcendentals=b * s * s,
         ),
-    )(*inputs)
+    )(q, k, v, *minputs)
 
 
-def _xla_attention(q, k, v, num_heads, padding_mask=None, causal=False):
+def _xla_attention(q, k, v, num_heads, padding_mask=None, causal=False,
+                   segment_ids=None):
     """XLA twin (the parity reference)."""
     b, s, d = q.shape
     head_dim = d // num_heads
@@ -181,37 +235,42 @@ def _xla_attention(q, k, v, num_heads, padding_mask=None, causal=False):
         logits = jnp.where(
             padding_mask[:, None, None, :] > 0, logits, _NEG
         )
+    if segment_ids is not None:
+        same = segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+        logits = jnp.where(same, logits, _NEG)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
     return out.transpose(0, 2, 1, 3).reshape(b, s, d).astype(q.dtype)
 
 
 def _fwd_stats_kernel(num_heads: int, scale: float, causal: bool,
-                      use_pad: bool, *refs):
+                      use_pad: bool, use_seg: bool, *refs):
     """Forward emitting (o, m, rinv); o is bit-identical to `_kernel`'s
-    (p = exp(l - m) / sum — the same ops jax.nn.softmax performs)."""
-    if use_pad:
-        q_ref, k_ref, v_ref, pad_ref, o_ref, m_ref, r_ref = refs
-        pad_row = pad_ref[pl.program_id(0), :]
-    else:
-        q_ref, k_ref, v_ref, o_ref, m_ref, r_ref = refs
-        pad_row = None
+    (same log2-domain/post-normalized op sequence). `m` is the per-(row,
+    head) max of the LOG2-domain logits; `rinv` the reciprocal row sum of
+    exp2(l2 - m), read back off the PV GEMM's ones-column."""
+    (q_ref, k_ref, v_ref, o_ref, m_ref, r_ref), pad_row, seg_row = (
+        _mask_rows(use_pad, use_seg, refs)
+    )
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
+    s = q.shape[0]
     sls = _head_slices(q.shape[-1], num_heads)
-    logits = _qk_logits(q, k, sls, scale, causal, pad_row)
-    ms = [jnp.max(l, axis=-1, keepdims=True) for l in logits]
-    es = [jnp.exp(l - m) for l, m in zip(logits, ms)]
-    ss = [jnp.sum(e, axis=-1, keepdims=True) for e in es]
-    probs = [(e / s).astype(v.dtype) for e, s in zip(es, ss)]
-    outs = [
-        jnp.dot(p, v[:, sl], preferred_element_type=jnp.float32)
-        for p, sl in zip(probs, sls)
+    l2s = _qk_logits(q, k, sls, scale * _LOG2E, causal, pad_row, seg_row)
+    ms = [jnp.max(l, axis=-1, keepdims=True) for l in l2s]
+    ebs = [jnp.exp2(l - m).astype(v.dtype) for l, m in zip(l2s, ms)]
+    ones = jnp.ones((s, 1), v.dtype)
+    ves = [jnp.concatenate([v[:, sl], ones], axis=1) for sl in sls]
+    oes = [
+        jnp.dot(eb, ve, preferred_element_type=jnp.float32)
+        for eb, ve in zip(ebs, ves)
     ]
+    rinvs = [1.0 / oe[:, -1:] for oe in oes]
+    outs = [oe[:, :-1] * rinv for oe, rinv in zip(oes, rinvs)]
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
-    m_ref[0] = jnp.concatenate(ms, axis=-1)  # [S, H] f32
-    r_ref[0] = jnp.concatenate([1.0 / s for s in ss], axis=-1)
+    m_ref[0] = jnp.concatenate(ms, axis=-1)  # [S, H] f32, LOG2 domain
+    r_ref[0] = jnp.concatenate(rinvs, axis=-1)
 
 
 @functools.partial(
@@ -219,24 +278,22 @@ def _fwd_stats_kernel(num_heads: int, scale: float, causal: bool,
 )
 def _self_attention_fwd_stats(
     q, k, v, num_heads: int, padding_mask=None, causal: bool = False,
-    interpret: bool = False,
+    segment_ids=None, interpret: bool = False,
 ):
     b, s, d = q.shape
     scale = (d // num_heads) ** -0.5
     spec = _row_specs(b, s, d)
     sspec = pl.BlockSpec((1, s, num_heads), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    in_specs = [spec, spec, spec]
-    inputs = [q, k, v]
-    use_pad = padding_mask is not None
-    if use_pad:
-        in_specs.append(_pad_spec(b, s))
-        inputs.append(padding_mask.astype(jnp.float32))
+    mspecs, minputs, use_pad, use_seg = _mask_inputs(
+        b, s, padding_mask, segment_ids
+    )
     stat = jax.ShapeDtypeStruct((b, s, num_heads), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_fwd_stats_kernel, num_heads, scale, causal, use_pad),
+        functools.partial(_fwd_stats_kernel, num_heads, scale, causal,
+                          use_pad, use_seg),
         grid=(b,),
-        in_specs=in_specs,
+        in_specs=[spec, spec, spec] + mspecs,
         out_specs=(spec, sspec, sspec),
         out_shape=(jax.ShapeDtypeStruct((b, s, d), q.dtype), stat, stat),
         interpret=interpret,
@@ -245,29 +302,31 @@ def _self_attention_fwd_stats(
             bytes_accessed=4 * b * s * d * q.dtype.itemsize,
             transcendentals=b * s * s,
         ),
-    )(*inputs)
+    )(q, k, v, *minputs)
 
 
 def _bwd_kernel(num_heads: int, scale: float, causal: bool, use_pad: bool,
-                *refs):
+                use_seg: bool, *refs):
     """Phase-split backward reusing the forward's softmax statistics.
 
-    Per head: p = exp(mask(scale·q k^T) - m) · rinv (no reduction passes);
-      dV = P^T g;  dP = g v^T;  dS = P ∘ (dP − delta);
+    Per head, with e = exp2(mask(scale·log2e·q k^T) - m) (log2-domain
+    stats, no reduction passes) and P = e · rinv:
+      dV = P^T g = e^T (g·rinv);  dP = g v^T;
+      dS = P ∘ (dP − delta) = e ∘ ((dP − delta) · rinv);
       dQ = scale·dS k;  dK = scale·dS^T q,
     with delta_i = rowsum(g ∘ o)_i per head (== rowsum(dP ∘ P)_i, see the
-    module docstring). Masked positions have P = 0, so dS vanishes there.
-    Everything ([S, S] included) stays VMEM-resident. Each phase runs for
-    all heads before the next starts — the MXU drains head h+1's GEMMs
-    while the VPU works head h (measured -38% vs the interleaved order)."""
-    if use_pad:
-        (q_ref, k_ref, v_ref, g_ref, o_ref, m_ref, r_ref, pad_ref,
-         dq_ref, dk_ref, dv_ref) = refs
-        pad_row = pad_ref[pl.program_id(0), :]
-    else:
-        (q_ref, k_ref, v_ref, g_ref, o_ref, m_ref, r_ref,
-         dq_ref, dk_ref, dv_ref) = refs
-        pad_row = None
+    module docstring). rinv is only ever applied at [S, hd] / fused into
+    the (dP − delta) term — P is never materialized. Masked positions
+    have e = 0, so dS vanishes there. Everything ([S, S] included) stays
+    VMEM-resident. Each phase runs for all heads before the next starts —
+    the MXU drains head h+1's GEMMs while the VPU works head h (measured
+    -38% vs the interleaved order)."""
+    refs = list(refs)
+    i = pl.program_id(0)
+    seg_row = refs.pop(7 + use_pad)[i, :] if use_seg else None
+    pad_row = refs.pop(7)[i, :] if use_pad else None
+    (q_ref, k_ref, v_ref, g_ref, o_ref, m_ref, r_ref,
+     dq_ref, dk_ref, dv_ref) = refs
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -276,19 +335,33 @@ def _bwd_kernel(num_heads: int, scale: float, causal: bool, use_pad: bool,
     d = q.shape[-1]
     sls = _head_slices(d, num_heads)
     go = g.astype(jnp.float32) * o.astype(jnp.float32)  # one [S, D] pass
-    logits = _qk_logits(q, k, sls, scale, causal, pad_row)
-    ps = [
-        jnp.exp(l - m_ref[0][:, h:h + 1]) * r_ref[0][:, h:h + 1]
-        for h, l in enumerate(logits)
+    # Unnormalized e = exp2(l2 - m) (log2-domain stats, no reduction
+    # passes). The rinv normalization never touches an [S, S] tile: for
+    # dV it rides the [S, hd] g slice (dV = e^T (g*rinv), row-scaled);
+    # for dS it folds into the (dP - delta) term, which is computed
+    # anyway: dS = P*(dP - delta) = e * ((dP - delta) * rinv).
+    l2s = _qk_logits(q, k, sls, scale * _LOG2E, causal, pad_row, seg_row)
+    es = [
+        jnp.exp2(l - m_ref[0][:, h:h + 1]) for h, l in enumerate(l2s)
     ]
-    pbs = [p.astype(q.dtype) for p in ps]
+    ebs = [e.astype(q.dtype) for e in es]
+    # A p = e*rinv single-normalization variant (v1 style, exp2) measured
+    # indistinguishable on v5e (interleaved reps: 1.15-1.44 vs
+    # 1.32-1.57 ms at B=256, noise-bound); this form keeps rinv off the
+    # [S, S] tiles entirely.
+    grs = [
+        (g[:, sl].astype(jnp.float32) * r_ref[0][:, h:h + 1]).astype(
+            q.dtype
+        )
+        for h, sl in enumerate(sls)
+    ]
     dvs = [
-        jax.lax.dot_general(  # P^T g -> [S, hd]
-            pb, g[:, sl],
+        jax.lax.dot_general(  # e^T (g*rinv) -> [S, hd]
+            eb, gr,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        for pb, sl in zip(pbs, sls)
+        for eb, gr in zip(ebs, grs)
     ]
     dps = [
         jax.lax.dot_general(  # g v^T -> [S, S]
@@ -300,8 +373,8 @@ def _bwd_kernel(num_heads: int, scale: float, causal: bool, use_pad: bool,
     ]
     deltas = [jnp.sum(go[:, sl], axis=-1, keepdims=True) for sl in sls]
     dsbs = [
-        (p * (dp - delta)).astype(q.dtype)
-        for p, dp, delta in zip(ps, dps, deltas)
+        (e * ((dp - delta) * r_ref[0][:, h:h + 1])).astype(q.dtype)
+        for h, (e, dp, delta) in enumerate(zip(es, dps, deltas))
     ]
     dqs = [
         scale * jnp.dot(dsb, k[:, sl], preferred_element_type=jnp.float32)
@@ -325,7 +398,7 @@ def _bwd_kernel(num_heads: int, scale: float, causal: bool, use_pad: bool,
 )
 def _self_attention_bwd_stats(
     q, k, v, g, o, m, r, num_heads: int, padding_mask=None,
-    causal: bool = False, interpret: bool = False,
+    causal: bool = False, segment_ids=None, interpret: bool = False,
 ):
     """(dq, dk, dv) given the forward output and softmax stats."""
     b, s, d = q.shape
@@ -333,17 +406,15 @@ def _self_attention_bwd_stats(
     spec = _row_specs(b, s, d)
     sspec = pl.BlockSpec((1, s, num_heads), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    in_specs = [spec] * 5 + [sspec, sspec]
-    inputs = [q, k, v, g, o, m, r]
-    use_pad = padding_mask is not None
-    if use_pad:
-        in_specs.append(_pad_spec(b, s))
-        inputs.append(padding_mask.astype(jnp.float32))
+    mspecs, minputs, use_pad, use_seg = _mask_inputs(
+        b, s, padding_mask, segment_ids
+    )
     shapes = tuple(jax.ShapeDtypeStruct((b, s, d), t.dtype) for t in (q, k, v))
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, num_heads, scale, causal, use_pad),
+        functools.partial(_bwd_kernel, num_heads, scale, causal, use_pad,
+                          use_seg),
         grid=(b,),
-        in_specs=in_specs,
+        in_specs=[spec] * 5 + [sspec, sspec] + mspecs,
         out_specs=(spec, spec, spec),
         out_shape=shapes,
         interpret=interpret,
@@ -352,7 +423,7 @@ def _self_attention_bwd_stats(
             bytes_accessed=8 * b * s * d * q.dtype.itemsize,
             transcendentals=b * s * s,
         ),
-    )(*inputs)
+    )(q, k, v, g, o, m, r, *minputs)
 
 
 def self_attention_trainable(
@@ -362,34 +433,39 @@ def self_attention_trainable(
     num_heads: int,
     padding_mask: Optional[jnp.ndarray] = None,
     causal: bool = False,
+    segment_ids: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Differentiable fused attention: Pallas forward + Pallas recompute
     backward (q/k/v, the output, and the [B, S, H] softmax stats are
     saved; no [B, h, S, S] tensor ever reaches HBM in either direction).
-    The padding mask is a non-differentiable input."""
+    The padding mask and segment ids are non-differentiable inputs
+    (`segment_ids` + `causal=True` = the packed-caption within-segment
+    causal mask, ops/packing.packed_attention_bias semantics in-kernel)."""
 
     @jax.custom_vjp
-    def fwd_fn(q, k, v, padding_mask):
+    def fwd_fn(q, k, v, padding_mask, segment_ids):
         return self_attention_fused(
             q, k, v, num_heads=num_heads, padding_mask=padding_mask,
-            causal=causal, interpret=interpret,
+            causal=causal, segment_ids=segment_ids, interpret=interpret,
         )
 
-    def fwd(q, k, v, padding_mask):
+    def fwd(q, k, v, padding_mask, segment_ids):
         o, m, r = _self_attention_fwd_stats(
             q, k, v, num_heads=num_heads, padding_mask=padding_mask,
-            causal=causal, interpret=interpret,
+            causal=causal, segment_ids=segment_ids, interpret=interpret,
         )
-        return o, (q, k, v, o, m, r, padding_mask)
+        return o, (q, k, v, o, m, r, padding_mask, segment_ids)
 
     def bwd(res, g):
-        q, k, v, o, m, r, padding_mask = res
+        q, k, v, o, m, r, padding_mask, segment_ids = res
         dq, dk, dv = _self_attention_bwd_stats(
             q, k, v, g.astype(q.dtype), o, m, r, num_heads=num_heads,
-            padding_mask=padding_mask, causal=causal, interpret=interpret,
+            padding_mask=padding_mask, causal=causal,
+            segment_ids=segment_ids, interpret=interpret,
         )
-        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+                None, None)
 
     fwd_fn.defvjp(fwd, bwd)
-    return fwd_fn(q, k, v, padding_mask)
+    return fwd_fn(q, k, v, padding_mask, segment_ids)

@@ -64,19 +64,29 @@ def _attn_kernel(num_heads: int, eps: float,
     # softmax — same scheduling fix as kernels.vit_attention, where the
     # interleaved order measured up to 38% slower at these shapes.
     sls = [slice(hh * head_dim, (hh + 1) * head_dim) for hh in range(num_heads)]
+    # Log2-domain softmax, normalized after the PV GEMM (same three VPU
+    # savings as kernels.vit_attention: bare exp2, row sums ridden on a
+    # ones-column of the PV GEMM, no [S, S] divide). The scale (folded
+    # with log2e) rides the [S, hd] q slice, not the [S, S] logits.
+    log2e = 1.4426950408889634
+    s_len = x.shape[0]
     logits = [
         jax.lax.dot_general(
-            q[:, sl] * scale, k[:, sl],
+            q[:, sl] * (scale * log2e), k[:, sl],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         for sl in sls
     ]
-    probs = [jax.nn.softmax(l, axis=-1) for l in logits]
-    outs = [
-        jnp.dot(p, v[:, sl], preferred_element_type=jnp.float32)
-        for p, sl in zip(probs, sls)
+    ms = [jnp.max(l, axis=-1, keepdims=True) for l in logits]
+    es = [jnp.exp2(l - m) for l, m in zip(logits, ms)]
+    ones = jnp.ones((s_len, 1), jnp.float32)
+    ves = [jnp.concatenate([v[:, sl], ones], axis=1) for sl in sls]
+    oes = [
+        jnp.dot(e, ve, preferred_element_type=jnp.float32)
+        for e, ve in zip(es, ves)
     ]
+    outs = [oe[:, :-1] * (1.0 / oe[:, -1:]) for oe in oes]
     attn = jnp.concatenate(outs, axis=-1)
     out = jnp.dot(attn, wo_ref[:].astype(jnp.float32),
                   preferred_element_type=jnp.float32) + bo_ref[:]

@@ -61,12 +61,15 @@ class Attention(nn.Module):
         x,
         padding_mask: Optional[jnp.ndarray] = None,
         attn_bias: Optional[jnp.ndarray] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
     ):
         # x: [B, S, D]; padding_mask: [B, S], 1 = valid key position.
         # attn_bias: additive [B, 1, S, S] f32 replacing the internally
-        # built causal/padding mask (the packed-caption path encodes
-        # within-segment causality there); takes the XLA path — the fused
-        # kernel only knows causal + key-padding masks in-kernel.
+        # built causal/padding mask — an XLA-path-only escape hatch.
+        # segment_ids: [B, S] int (packed captions, ops/packing.py): the
+        # fused kernel applies within-segment causality IN-KERNEL (no
+        # [B, 1, S, S] bias tensor is ever built), so the packed text
+        # tower stays on the Pallas path; the XLA path masks with it too.
         head_dim = self.hidden // self.heads
         q = nn.Dense(self.hidden, dtype=self.dtype, name="q_proj")(x)
         k = nn.Dense(self.hidden, dtype=self.dtype, name="k_proj")(x)
@@ -77,7 +80,8 @@ class Attention(nn.Module):
 
             out = self_attention_trainable(
                 q, k, v, num_heads=self.heads, padding_mask=padding_mask,
-                causal=self.causal, interpret=self.interpret,
+                causal=self.causal, segment_ids=segment_ids,
+                interpret=self.interpret,
             )
             return nn.Dense(self.hidden, dtype=self.dtype, name="out_proj")(out)
 
@@ -94,6 +98,13 @@ class Attention(nn.Module):
             if padding_mask is not None:
                 pad = jnp.where(padding_mask[:, None, None, :] > 0, 0.0, neg)
                 mask = pad if mask is None else mask + pad
+            if segment_ids is not None:
+                same = (
+                    segment_ids[:, None, :, None]
+                    == segment_ids[:, None, None, :]
+                )
+                seg = jnp.where(same, 0.0, neg)
+                mask = seg if mask is None else mask + seg
 
         def split(t):
             return t.reshape(b, s, self.heads, head_dim).transpose(0, 2, 1, 3)
@@ -196,12 +207,14 @@ class EncoderLayer(nn.Module):
     fused_trainable_attn_block: bool = False
 
     @nn.compact
-    def __call__(self, x, padding_mask=None, attn_bias=None):
+    def __call__(self, x, padding_mask=None, attn_bias=None,
+                 segment_ids=None):
         if (
             self.fused_trainable_attn_block
             and not self.causal
             and padding_mask is None
             and attn_bias is None
+            and segment_ids is None
         ):
             from dclip_tpu.kernels.attn_block_trainable import (
                 attention_block_trainable,
@@ -222,7 +235,7 @@ class EncoderLayer(nn.Module):
             x = x + Attention(
                 self.hidden, self.heads, self.dtype, self.fused,
                 self.interpret, self.causal, name="self_attn",
-            )(h, padding_mask, attn_bias)
+            )(h, padding_mask, attn_bias, segment_ids)
         if self.fused_frozen_mlp or self.fused_trainable_mlp:
             if self.fused_trainable_mlp:
                 from dclip_tpu.kernels.mlp_trainable import (
@@ -260,7 +273,8 @@ class Encoder(nn.Module):
     fused_trainable_attn_block: bool = False
 
     @nn.compact
-    def __call__(self, x, padding_mask=None, attn_bias=None):
+    def __call__(self, x, padding_mask=None, attn_bias=None,
+                 segment_ids=None):
         layer_cls = EncoderLayer
         if self.remat:
             layer_cls = nn.remat(EncoderLayer, static_argnums=())
@@ -278,7 +292,7 @@ class Encoder(nn.Module):
                 self.fused_trainable_mlp,
                 self.fused_trainable_attn_block,
                 name=f"layers_{i}",
-            )(x, padding_mask, attn_bias)
+            )(x, padding_mask, attn_bias, segment_ids)
         return x
 
 
@@ -321,19 +335,28 @@ class CLIPTextEncoder(nn.Module):
             (c.max_length, c.hidden_size),
         ).astype(self.dtype)
         attn_bias = None
+        encoder_segments = None
         if segment_ids is not None:
-            from dclip_tpu.ops.packing import packed_attention_bias
-
             x = tok + jnp.take(pos, positions, axis=0)
-            attn_bias = packed_attention_bias(segment_ids)
             attention_mask = None
+            if self.fused_attention:
+                # The fused kernel applies within-segment causality
+                # in-kernel — no [R, 1, S, S] bias tensor, and the packed
+                # text tower keeps the Pallas fast path.
+                encoder_segments = segment_ids
+            else:
+                from dclip_tpu.ops.packing import packed_attention_bias
+
+                attn_bias = packed_attention_bias(segment_ids)
         else:
             x = tok + pos[None, :s, :]
 
         # HF CLIP text attention is causal; key padding comes from
         # attention_mask. Both are applied inside Attention (additive mask
         # on the XLA path, in-kernel iota/row masks on the fused path).
-        # Packed mode replaces both with the within-segment causal bias.
+        # Packed mode replaces both with within-segment causality: an
+        # additive bias tensor on the XLA path, in-kernel segment ids on
+        # the fused path (no [R, 1, S, S] bias is ever materialized).
         x = Encoder(
             c.num_layers,
             c.hidden_size,
@@ -347,7 +370,7 @@ class CLIPTextEncoder(nn.Module):
             causal=True,
             fused_trainable_mlp=self.fused_trainable_mlp,
             name="encoder",
-        )(x, attention_mask, attn_bias)
+        )(x, attention_mask, attn_bias, encoder_segments)
         x = nn.LayerNorm(
             epsilon=c.layer_norm_eps, dtype=self.dtype, name="final_layer_norm"
         )(x)

@@ -832,3 +832,130 @@ def test_attn_block_fit_budget():
     # B/16 bf16 (S=197, D=768, H=12) must fit; ViT-L/14 (D=1024) must not.
     assert attn_block_fit(197, 768, 12, 2)
     assert not attn_block_fit(257, 1024, 16, 2)
+
+
+def test_vit_self_attention_segment_mask_parity_and_grads():
+    """In-kernel segment masking (causal=True + segment_ids) reproduces
+    ops.packing.packed_attention_bias exactly: forward and q/k/v grads
+    match the XLA additive-bias reference (the packed-caption contract)."""
+    from dclip_tpu.kernels.vit_attention import self_attention_trainable
+    from dclip_tpu.ops.packing import packed_attention_bias
+
+    rng = np.random.RandomState(7)
+    b, s, d, heads = 3, 12, 32, 4
+    q = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    # Rows: two segments + trailing padding, three segments, all padding
+    # (a bucket row) — the degenerate all-zeros row must stay finite.
+    seg = jnp.asarray(
+        np.array(
+            [
+                [1, 1, 1, 1, 2, 2, 2, 0, 0, 0, 0, 0],
+                [1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 3, 0],
+                [0] * 12,
+            ],
+            np.int32,
+        )
+    )
+
+    def ref(q, k, v):
+        hd = d // heads
+        bias = packed_attention_bias(seg)
+
+        def split(t):
+            return t.reshape(b, s, heads, hd).transpose(0, 2, 1, 3)
+
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", split(q) * hd**-0.5, split(k),
+            preferred_element_type=jnp.float32,
+        ) + bias
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, split(v))
+        return out.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+    def fused(q, k, v):
+        return self_attention_trainable(
+            q, k, v, num_heads=heads, causal=True, segment_ids=seg,
+            interpret=True,
+        )
+
+    got = fused(q, k, v)
+    want = ref(q, k, v)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+    t = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    g_got = jax.grad(lambda *a: jnp.sum((fused(*a) - t) ** 2), (0, 1, 2))(
+        q, k, v
+    )
+    g_want = jax.grad(lambda *a: jnp.sum((ref(*a) - t) ** 2), (0, 1, 2))(
+        q, k, v
+    )
+    for a, b_ in zip(g_got, g_want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_packed_text_features_fused_kernel_parity():
+    """The packed text tower on the FUSED path (in-kernel segment mask,
+    no [R, 1, S, S] bias tensor) matches the XLA additive-bias path."""
+    from dclip_tpu.core.config import CLIPConfig
+    from dclip_tpu.models.clip import CLIPModule
+    from dclip_tpu.ops.packing import pack_captions
+
+    cfg = CLIPConfig.tiny_test()
+    rng = np.random.RandomState(11)
+    b, s = 8, cfg.text.max_length
+    lengths = rng.randint(3, max(4, s // 3), size=b)
+    ids = np.zeros((b, s), np.int64)
+    mask = np.zeros((b, s), np.int64)
+    for i, n in enumerate(lengths):
+        ids[i, :n] = rng.randint(1, cfg.text.vocab_size - 1, size=n)
+        ids[i, n - 1] = cfg.text.eos_token_id
+        mask[i, :n] = 1
+    p = pack_captions(ids, mask, cfg.text.eos_token_id)
+    args = tuple(
+        jnp.asarray(p[k])
+        for k in ("packed_ids", "packed_segments", "packed_positions",
+                  "packed_eos_rows", "packed_eos_cols")
+    )
+
+    xla = CLIPModule(cfg)
+    fused = CLIPModule(cfg, fused_attention=True, pallas_interpret=True)
+    variables = xla.init(
+        jax.random.PRNGKey(0), jnp.asarray(ids),
+        jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3)),
+    )
+    want = xla.apply(variables, *args, method=xla.get_packed_text_features)
+    got = fused.apply(variables, *args,
+                      method=fused.get_packed_text_features)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+    def loss(m, params):
+        f = m.apply({"params": params}, *args,
+                    method=m.get_packed_text_features)
+        return jnp.sum(f**2)
+
+    gw = jax.grad(lambda p_: loss(xla, p_))(variables["params"])
+    gg = jax.grad(lambda p_: loss(fused, p_))(variables["params"])
+    flat_w = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(gw)
+    )
+    checked = 0
+    for k, vg in jax.tree_util.tree_leaves_with_path(gg):
+        name = jax.tree_util.keystr(k)
+        if "text_model" not in name and "text_projection" not in name:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(vg), np.asarray(flat_w[name]), rtol=5e-4, atol=1e-5,
+            err_msg=name,
+        )
+        checked += 1
+    assert checked >= 10
